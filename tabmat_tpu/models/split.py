@@ -1,0 +1,470 @@
+"""SplitMatrix: a column-partitioned container of heterogeneous blocks.
+
+Parity target: reference ``tabmat/split_matrix.py:144-554`` (plus
+``as_tabmat``/``hstack``, ``split_matrix.py:22-61``).  A SplitMatrix holds
+dense, sparse, and categorical blocks each covering a sorted set of global
+column indices; ops fan out to the blocks and the results are assembled:
+
+- ``sandwich``: per-block diagonal blocks + all pairwise cross-sandwiches,
+  mirrored into a host (k, k) array (reference ``split_matrix.py:324-356``);
+- ``matvec``/``transpose_matvec``: per-block ops; numpy callers get in-place
+  indexed accumulation, jax callers get a scatter-free concat+gather
+  permutation (`_place_segments`) so the whole pipeline stays on device.
+
+The reference's Cython merge-walk ``split_col_subsets`` becomes a vectorized
+numpy searchsorted on the host (column counts are small).
+"""
+
+import warnings
+from collections.abc import Sequence
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse as sps
+
+from ..ops.diag import DiagonalResult
+from ..utils import (
+    add_into_out,
+    check_matvec_dimensions,
+    check_matvec_out_shape,
+    check_sandwich_compatible,
+    check_transpose_matvec_out_shape,
+    is_jax_array,
+    set_up_rows_or_cols,
+)
+from .base import MatrixBase
+from .categorical import CategoricalMatrix
+from .dense import DenseMatrix
+from .sparse import SparseMatrix
+from .standardized import StandardizedMatrix
+
+
+def as_tabmat(a):
+    """Coerce to a MatrixBase: sparse → SparseMatrix, ndarray → DenseMatrix."""
+    if isinstance(a, (MatrixBase, StandardizedMatrix)):
+        return a
+    elif sps.issparse(a):
+        return SparseMatrix(a.tocsc(copy=False))
+    elif isinstance(a, np.ndarray):
+        return DenseMatrix(a)
+    else:
+        try:
+            import jax
+
+            if isinstance(a, jax.Array):
+                return DenseMatrix(a)
+        except ImportError:  # pragma: no cover
+            pass
+        raise ValueError(f"Cannot convert type {type(a)} to Matrix.")
+
+
+def hstack(tup: Sequence) -> MatrixBase:
+    """Stack matrices horizontally; homogeneous inputs keep their type."""
+    matrices = [as_tabmat(a) for a in tup]
+
+    if len(matrices) == 0:
+        raise ValueError("Need at least one array to concatenate.")
+
+    if all(isinstance(mat, SparseMatrix) for mat in matrices):
+        return SparseMatrix(sps.hstack([mat.unpack() for mat in matrices]))
+    elif all(isinstance(mat, DenseMatrix) for mat in matrices):
+        return DenseMatrix(jnp.concatenate([mat.unpack() for mat in matrices], axis=1))
+    else:
+        return SplitMatrix(matrices)
+
+
+def _filter_out_empty(matrices, indices):
+    keep = [i for i, m in enumerate(matrices) if m.shape[1] > 0]
+    return [matrices[i] for i in keep], [indices[i] for i in keep]
+
+
+def _combine_matrices(matrices, indices):
+    """Merge all dense blocks into one and all sparse blocks into one.
+
+    Categorical blocks stay separate (each is a single term).  Mirrors
+    reference ``split_matrix.py:85-141``.
+    """
+    for mat_type, stack_fn in [
+        (DenseMatrix, lambda mats: jnp.concatenate([m.unpack() for m in mats], axis=1)),
+        (SparseMatrix, lambda mats: sps.hstack([m.unpack() for m in mats])),
+    ]:
+        same_type = [i for i, m in enumerate(matrices) if isinstance(m, mat_type)]
+        if len(same_type) > 1:
+            stacked = mat_type(stack_fn([matrices[i] for i in same_type]))
+            new_indices = np.concatenate([indices[i] for i in same_type])
+            new_colnames = np.concatenate(
+                [np.array(matrices[i]._colnames, dtype=object) for i in same_type]
+            )
+            new_terms = np.concatenate(
+                [np.array(matrices[i]._terms, dtype=object) for i in same_type]
+            )
+            sorter = np.argsort(new_indices)
+            sorted_matrix = stacked[:, sorter]
+            sorted_matrix._colnames = new_colnames[sorter].tolist()
+            sorted_matrix._terms = new_terms[sorter].tolist()
+
+            matrices[same_type[0]] = sorted_matrix
+            indices[same_type[0]] = new_indices[sorter]
+            matrices = [m for i, m in enumerate(matrices) if i not in same_type[1:]]
+            indices = [idx for i, idx in enumerate(indices) if i not in same_type[1:]]
+    return matrices, indices
+
+
+def _place_segments(segments, positions, total_len, xp):
+    """Scatter-free assembly: place 1-d ``segments`` at global ``positions``.
+
+    Builds ``concat(segments + [0])`` and gathers it through a
+    host-precomputed index map (missing positions hit the trailing zero).
+    """
+    index_map = np.full(total_len, -1, dtype=np.int64)
+    off = 0
+    for seg, pos in zip(segments, positions):
+        index_map[np.asarray(pos)] = off + np.arange(len(pos))
+        off += len(pos)
+    index_map[index_map < 0] = off  # point at the zero slot
+    if xp is np:
+        segs = [np.asarray(s) for s in segments]
+        flat = np.concatenate(segs + [np.zeros((1,) + segs[0].shape[1:], segs[0].dtype)])
+        return flat[index_map]
+    segs = [jnp.asarray(s) for s in segments]
+    flat = jnp.concatenate(
+        segs + [jnp.zeros((1,) + tuple(segs[0].shape[1:]), segs[0].dtype)]
+    )
+    return jnp.take(flat, jnp.asarray(index_map), axis=0)
+
+
+class SplitMatrix(MatrixBase):
+    """Matrix with dense, sparse and categorical column blocks."""
+
+    __array_priority__ = 13
+
+    def __init__(
+        self,
+        matrices: Sequence[MatrixBase],
+        indices: Optional[list[np.ndarray]] = None,
+    ):
+        flat_matrices = []
+        index_corrections = []
+        for mat in matrices:
+            if not isinstance(mat, MatrixBase):
+                raise ValueError(
+                    "Expected all elements of matrices to be subclasses of MatrixBase."
+                )
+            if isinstance(mat, SplitMatrix):
+                # flatten nested splits, remembering their internal order
+                current_idx = 0
+                for iind, imat in zip(mat.indices, mat.matrices):
+                    flat_matrices.append(imat)
+                    index_corrections.append(
+                        iind - np.arange(len(iind), dtype=np.int64) - current_idx
+                    )
+                    current_idx += len(iind)
+            else:
+                flat_matrices.append(mat)
+                width = 1 if len(mat.shape) == 1 else mat.shape[1]
+                index_corrections.append(np.zeros(width, dtype=np.int64))
+
+        self.dtype = flat_matrices[0].dtype
+        n_row = flat_matrices[0].shape[0]
+        for i, mat in enumerate(flat_matrices):
+            if mat.dtype != self.dtype:
+                warnings.warn(
+                    "Matrices do not all have the same dtype. Dtypes are "
+                    f"{[elt.dtype for elt in flat_matrices]}."
+                )
+            if mat.shape[0] != n_row:
+                raise ValueError(
+                    "All matrices should have the same first dimension, "
+                    f"but the first matrix has first dimension {n_row} and "
+                    f"matrix {i} has first dimension {mat.shape[0]}."
+                )
+            if mat.ndim == 1:
+                flat_matrices[i] = mat[:, np.newaxis]
+            elif mat.ndim > 2:
+                raise ValueError("All matrices should be at most two dimensional.")
+
+        if indices is None:
+            indices = []
+            current_idx = 0
+            for mat, corr in zip(flat_matrices, index_corrections):
+                indices.append(
+                    np.arange(current_idx, current_idx + mat.shape[1], dtype=np.int64)
+                    + corr
+                )
+                current_idx += mat.shape[1]
+            n_col = current_idx
+        else:
+            all_indices = np.concatenate(indices)
+            n_col = len(all_indices)
+            if (np.arange(n_col, dtype=np.int64) != np.sort(all_indices)).any():
+                raise ValueError(
+                    "Indices should contain all integers from 0 to one less than "
+                    "the number of columns."
+                )
+            for i in range(len(indices)):
+                indices[i] = np.asarray(indices[i])
+                if np.any(np.diff(indices[i]) < 0):
+                    raise ValueError(
+                        f"Each index block should be sorted, but indices[{i}] was "
+                        "not sorted"
+                    )
+
+        for i, (mat, idx) in enumerate(zip(flat_matrices, indices)):
+            if mat.shape[1] != len(idx):
+                raise ValueError(
+                    f"Element {i} of indices should should have length "
+                    f"{mat.shape[1]}, but it has shape {np.asarray(idx).shape}"
+                )
+
+        filtered_mats, filtered_idxs = _filter_out_empty(flat_matrices, indices)
+        combined, combined_idx = _combine_matrices(filtered_mats, filtered_idxs)
+
+        self.matrices = combined
+        self.indices = [np.asarray(elt, dtype=np.int64) for elt in combined_idx]
+        self.shape = (n_row, int(n_col))
+        assert self.shape[1] > 0
+
+    # -- restriction plumbing --------------------------------------------
+
+    def _split_col_subsets(self, cols):
+        """Map a global column active-set onto each block.
+
+        Returns ``(subset_cols_indices, subset_cols, n_cols)`` satisfying
+        ``self.indices[i][subset_cols[i]] == cols[subset_cols_indices[i]]``.
+        Vectorized numpy replacement for the reference's Cython merge-walk
+        (``tabmat/ext/split.pyx:157-209``).
+        """
+        if cols is None:
+            return self.indices, [None] * len(self.indices), self.shape[1]
+
+        cols = set_up_rows_or_cols(cols, self.shape[1])
+        order = np.argsort(cols, kind="stable")
+        sorted_cols = cols[order]
+
+        subset_cols_indices = []
+        subset_cols = []
+        for idx in self.indices:
+            pos = np.searchsorted(sorted_cols, idx)
+            pos_clipped = np.minimum(pos, len(sorted_cols) - 1)
+            found = sorted_cols[pos_clipped] == idx
+            subset_cols.append(np.where(found)[0].astype(np.int64))
+            subset_cols_indices.append(order[pos_clipped[found]].astype(np.int64))
+        return subset_cols_indices, subset_cols, len(cols)
+
+    # -- core ops -----------------------------------------------------------
+
+    def sandwich(
+        self,
+        d,
+        rows: Optional[np.ndarray] = None,
+        cols: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Block sandwich: per-block diagonal + pairwise cross terms."""
+        d_np = d if hasattr(d, "dtype") else np.asarray(d)
+        check_sandwich_compatible(self, d_np)
+
+        subset_cols_indices, subset_cols, n_cols = self._split_col_subsets(cols)
+
+        out = np.zeros((n_cols, n_cols))
+        for i in range(len(self.indices)):
+            idx_i = subset_cols_indices[i]
+            mat_i = self.matrices[i]
+            res = mat_i.sandwich(d_np, rows, subset_cols[i])
+            if isinstance(res, DiagonalResult):
+                out[(idx_i, idx_i)] += np.asarray(res.diag)
+            elif isinstance(res, sps.dia_matrix):
+                out[(idx_i, idx_i)] += np.squeeze(res.data)
+            else:
+                out[np.ix_(idx_i, idx_i)] = np.asarray(res)
+
+            for j in range(i + 1, len(self.indices)):
+                idx_j = subset_cols_indices[j]
+                mat_j = self.matrices[j]
+                res = mat_i._cross_sandwich(
+                    mat_j, d_np, rows, subset_cols[i], subset_cols[j]
+                )
+                res = np.asarray(res)
+                out[np.ix_(idx_i, idx_j)] = res
+                out[np.ix_(idx_j, idx_i)] = res.T
+
+        return out
+
+    def matvec(self, v, cols: Optional[np.ndarray] = None, out=None) -> np.ndarray:
+        """``X[:, cols] @ v[cols]`` — per-block matvecs accumulated."""
+        assert not isinstance(v, sps.spmatrix)
+        v_in = v
+        v = v if is_jax_array(v) else np.asarray(v)
+        check_matvec_dimensions(self, v, transpose=False)
+        check_matvec_out_shape(self, out)
+
+        _, subset_cols, n_cols = self._split_col_subsets(cols)
+
+        out_shape = [self.shape[0]] + ([] if v.ndim == 1 else list(v.shape[1:]))
+        out_dtype = np.result_type(self.dtype, v.dtype)
+        if out is None:
+            if is_jax_array(v_in):
+                out = jnp.zeros(out_shape, out_dtype)
+            else:
+                out = np.zeros(out_shape, out_dtype)
+        elif isinstance(out, np.ndarray) and out.dtype != out_dtype:
+            raise ValueError(
+                f"out array is required to have dtype {out_dtype} but has "
+                f"dtype {out.dtype}"
+            )
+
+        for sub_cols, idx, mat in zip(subset_cols, self.indices, self.matrices):
+            in_vec = v[idx, ...] if isinstance(v, np.ndarray) else jnp.take(v, jnp.asarray(idx), axis=0)
+            out = mat.matvec(in_vec, sub_cols, out=out)
+        return out
+
+    def transpose_matvec(
+        self,
+        v,
+        rows: Optional[np.ndarray] = None,
+        cols: Optional[np.ndarray] = None,
+        out=None,
+    ) -> np.ndarray:
+        """``X[rows, cols].T @ v[rows]`` — per-block results placed by index."""
+        v_in = v
+        v = v if is_jax_array(v) else np.asarray(v)
+        check_matvec_dimensions(self, v, transpose=True)
+        check_transpose_matvec_out_shape(self, out)
+
+        subset_cols_indices, subset_cols, n_cols = self._split_col_subsets(cols)
+        out_dtype = np.result_type(self.dtype, v.dtype)
+        use_np = not is_jax_array(v_in)
+
+        segments = []
+        for idx, sub_cols, mat in zip(subset_cols_indices, subset_cols, self.matrices):
+            segments.append(mat.transpose_matvec(v, rows=rows, cols=sub_cols))
+
+        if use_np:
+            out_is_none = out is None
+            if out_is_none:
+                out = np.zeros([n_cols] + list(v.shape[1:]), out_dtype)
+            elif out.dtype != out_dtype:
+                raise ValueError(
+                    f"out array is required to have dtype {out_dtype} but has "
+                    f"dtype {out.dtype}"
+                )
+            cols_arr = None if cols is None else np.asarray(cols, dtype=np.int64)
+            for idx, seg in zip(subset_cols_indices, segments):
+                if out_is_none or cols_arr is None:
+                    out[idx, ...] += np.asarray(seg, dtype=out.dtype)
+                else:
+                    out[cols_arr[idx], ...] += np.asarray(seg, dtype=out.dtype)
+            return out
+
+        # jax flavor: scatter-free placement
+        if out is None:
+            placed = _place_segments(segments, subset_cols_indices, n_cols, jnp)
+            return placed.astype(out_dtype)
+        cols_arr = None if cols is None else np.asarray(cols, dtype=np.int64)
+        if cols_arr is None:
+            positions = subset_cols_indices
+            total = self.shape[1]
+        else:
+            positions = [cols_arr[idx] for idx in subset_cols_indices]
+            total = out.shape[0]
+        placed = _place_segments(segments, positions, total, jnp)
+        return out + placed.astype(out.dtype)
+
+    # -- statistics ---------------------------------------------------------
+
+    def _get_col_means(self, weights) -> np.ndarray:
+        """Weighted column means, per block."""
+        col_means = np.empty(self.shape[1], dtype=self.dtype)
+        for idx, mat in zip(self.indices, self.matrices):
+            col_means[idx] = np.asarray(mat._get_col_means(weights))
+        return col_means
+
+    def _get_col_stds(self, weights, col_means) -> np.ndarray:
+        """Weighted column stds, per block."""
+        col_stds = np.empty(self.shape[1], dtype=self.dtype)
+        for idx, mat in zip(self.indices, self.matrices):
+            col_stds[idx] = np.asarray(mat._get_col_stds(weights, col_means[idx]))
+        return col_stds
+
+    # -- conversions ----------------------------------------------------------
+
+    def astype(self, dtype, order="K", casting="unsafe", copy=True):
+        """Cast all blocks."""
+        if copy:
+            new_matrices = [
+                mat.astype(dtype=dtype, order=order, casting=casting, copy=True)
+                for mat in self.matrices
+            ]
+            return SplitMatrix(new_matrices, self.indices)
+        for i in range(len(self.matrices)):
+            self.matrices[i] = self.matrices[i].astype(
+                dtype=dtype, order=order, casting=casting, copy=False
+            )
+        return SplitMatrix(self.matrices, self.indices)
+
+    def toarray(self) -> np.ndarray:
+        """Densify to host numpy."""
+        out = np.empty(self.shape)
+        for mat, idx in zip(self.matrices, self.indices):
+            out[:, idx] = mat.toarray()
+        return out
+
+    def getcol(self, i: int):
+        """Column ``i`` (wrap-around) from whichever block owns it."""
+        i %= self.shape[1]
+        for mat, idx in zip(self.matrices, self.indices):
+            if i in idx:
+                loc = np.where(idx == i)[0][0]
+                return mat.getcol(loc)
+        raise RuntimeError(f"Column {i} was not found.")
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            row, col = key
+        else:
+            row = key
+            col = slice(None, None, None)
+
+        if not (isinstance(col, slice) and col == slice(None, None, None)):
+            raise NotImplementedError(
+                f"Only row indexing is supported. Index passed was {key}."
+            )
+        if isinstance(row, int):
+            row = [row]
+        return SplitMatrix([mat[row, :] for mat in self.matrices], self.indices)
+
+    def multiply(self, other):
+        """Row-wise scaling of every block."""
+        return SplitMatrix(
+            [mat.multiply(other) for mat in self.matrices], indices=self.indices
+        )
+
+    def __repr__(self):
+        out = "SplitMatrix:"
+        for i, mat in enumerate(self.matrices):
+            out += (
+                f"\n\nComponent {i} with type {mat.__class__.__name__}\n" + repr(mat)
+            )
+        return out
+
+    # -- names -----------------------------------------------------------------
+
+    def get_names(
+        self,
+        type: str = "column",
+        missing_prefix: Optional[str] = None,
+        indices: Optional[list[int]] = None,
+    ) -> list[Optional[str]]:
+        """Gather names from all blocks in global column order."""
+        names: np.ndarray = np.empty(self.shape[1], dtype=object)
+        for idx, mat in zip(self.indices, self.matrices):
+            names[idx] = mat.get_names(type, missing_prefix, idx)
+        return names.tolist()
+
+    def set_names(self, names, type: str = "column"):
+        """Distribute names to the owning blocks."""
+        names_array = np.array(names, dtype=object)
+        if len(names) != self.shape[1]:
+            raise ValueError(f"Length of names must be {self.shape[1]}")
+        for idx, mat in zip(self.indices, self.matrices):
+            mat.set_names(names_array[idx].tolist(), type)

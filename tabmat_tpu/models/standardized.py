@@ -1,0 +1,310 @@
+"""StandardizedMatrix: a virtual shift/scale view over any MatrixBase.
+
+Parity target: reference ``tabmat/standardized_mat.py:18-379``.  The view is
+``self[i, j] = mult[j] * mat[i, j] + shift[j]`` and is never densified:
+every op expands into the inner matrix's op plus rank-1 corrections —
+
+sandwich:  ``S = M ∘ (mat.sandwich)  +  outer(mult*t, shift)
+            + outer(shift, mult*t)  +  outer(shift, shift) * sum(d)``
+where ``t = mat.transpose_matvec(d)`` and ``M = outer(mult, mult)``
+(see the derivation at reference ``standardized_mat.py:133-172``).
+
+The rank-1 algebra runs in numpy or jnp depending on the caller's array
+flavor; inner-matrix ops run on device either way.
+"""
+
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.diag import DiagonalResult
+from ..utils import (
+    check_matvec_dimensions,
+    check_sandwich_compatible,
+    check_transpose_matvec_out_shape,
+    is_jax_array,
+    set_up_rows_or_cols,
+    setup_restrictions,
+)
+from .base import MatrixBase
+
+
+def _is_diag(x) -> bool:
+    if isinstance(x, DiagonalResult):
+        return True
+    try:
+        from scipy import sparse as sps
+
+        return isinstance(x, sps.dia_matrix)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _diag_data(x) -> np.ndarray:
+    if isinstance(x, DiagonalResult):
+        return np.asarray(x.diag)
+    return np.asarray(x.data[0, :])
+
+
+class StandardizedMatrix:
+    """Shift/scale view: ``self[i, j] = mult[j] * mat[i, j] + shift[j]``."""
+
+    __array_priority__ = 11
+
+    def __init__(self, mat: MatrixBase, shift, mult=None):
+        shift_arr = np.atleast_1d(np.squeeze(np.asarray(shift)))
+        expected_shape = (mat.shape[1],)
+        if not isinstance(mat, MatrixBase):
+            raise TypeError("mat should be an instance of a MatrixBase subclass.")
+        if shift_arr.shape != expected_shape:
+            raise ValueError(
+                f"Expected shift to conform to shape {expected_shape}, "
+                f"but it has shape {np.asarray(shift).shape}"
+            )
+        if mult is not None:
+            mult_arr = np.atleast_1d(np.squeeze(np.asarray(mult)))
+            if mult_arr.shape != expected_shape:
+                raise ValueError(
+                    f"Expected mult to conform to shape {expected_shape}, "
+                    f"but it has shape {np.asarray(mult).shape}"
+                )
+        else:
+            mult_arr = None
+
+        self.shift = shift_arr
+        self.mult = mult_arr
+        self.mat = mat
+        self.shape = mat.shape
+        self.ndim = mat.ndim
+        self.dtype = mat.dtype
+
+    # -- core ops --------------------------------------------------------
+
+    def matvec(self, other_mat, cols: Optional[np.ndarray] = None, out=None):
+        """``self[:, cols] @ other[cols]`` (dense output)."""
+        cols = set_up_rows_or_cols(cols, self.shape[1])
+        other_in = other_mat
+        xp = jnp if is_jax_array(other_in) else np
+        other_mat = other_in if is_jax_array(other_in) else np.asarray(other_in)
+        check_matvec_dimensions(self, other_mat, transpose=False)
+
+        mult_other = other_mat
+        if self.mult is not None:
+            mult = xp.asarray(self.mult)
+            for _ in range(other_mat.ndim - 1):
+                mult = mult[:, None]
+            mult_other = mult * other_mat
+
+        mat_part = self.mat.matvec(mult_other, cols, out=out)
+        shift_part = xp.asarray(self.shift)[cols].dot(other_mat[cols, ...])
+        if isinstance(mat_part, np.ndarray) and mat_part.flags.writeable:
+            mat_part += np.asarray(shift_part)
+            return mat_part
+        return mat_part + shift_part
+
+    def transpose_matvec(
+        self,
+        other,
+        rows: Optional[np.ndarray] = None,
+        cols: Optional[np.ndarray] = None,
+        out=None,
+    ):
+        """``self[rows, cols].T @ other[rows]``.
+
+        The shift contributes ``outer(shift[cols], other[rows].sum(0))`` —
+        see the derivation at reference ``standardized_mat.py:185-204``.
+        """
+        check_transpose_matvec_out_shape(self, out)
+        other_in = other
+        xp = jnp if is_jax_array(other_in) else np
+        other = other_in if is_jax_array(other_in) else np.asarray(other_in)
+        check_matvec_dimensions(self, other, transpose=True)
+
+        res = self.mat.transpose_matvec(other, rows, cols)
+        res = res if is_jax_array(res) else np.asarray(res)
+
+        rows_idx, cols_idx = setup_restrictions(self.shape, rows, cols)
+        other_sum = xp.sum(other[rows_idx], 0)
+
+        shift_part_tmp = xp.outer(xp.asarray(self.shift)[cols_idx], other_sum)
+        output_shape = (
+            (self.shape[1] if cols is None else len(cols_idx)),
+        ) + tuple(res.shape[1:])
+        shift_part = xp.reshape(shift_part_tmp, output_shape)
+
+        if self.mult is not None:
+            mult = xp.asarray(self.mult)
+            for _ in range(res.ndim - 1):
+                mult = mult[:, None]
+            res = res * mult[cols_idx]
+        res = res + shift_part
+
+        if out is None:
+            return res
+        if isinstance(out, np.ndarray):
+            out[cols_idx] += np.asarray(res, dtype=out.dtype)
+            return out
+        # jax out: scatter-free accumulation over the restricted columns
+        if cols is None or len(cols_idx) == self.shape[1]:
+            return out + res
+        full = jnp.zeros(out.shape, dtype=out.dtype)
+        # res corresponds to positions cols_idx of the output; build via
+        # a dense one-hot matmul on the tiny (k,) axis to avoid scatter.
+        onehot = jnp.asarray(
+            np.eye(out.shape[0], dtype=np.float64)[:, cols_idx]
+        )
+        return out + (onehot @ res).astype(out.dtype)
+
+    def sandwich(
+        self,
+        d,
+        rows: Optional[np.ndarray] = None,
+        cols: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Four-term expansion of the standardized sandwich (host assembly)."""
+        if not hasattr(d, "dtype"):
+            d = np.asarray(d)
+        check_sandwich_compatible(self, d)
+
+        if rows is not None or cols is not None:
+            setup_rows, setup_cols = setup_restrictions(self.shape, rows, cols)
+            if rows is not None:
+                rows = setup_rows
+            if cols is not None:
+                cols = setup_cols
+
+        term1 = self.mat.sandwich(d, rows, cols)
+        d_mat = np.asarray(self.mat.transpose_matvec(d, rows, cols))
+        if self.mult is not None:
+            limited_mult = self.mult[cols] if cols is not None else self.mult
+            d_mat = d_mat * limited_mult
+        limited_shift = self.shift[cols] if cols is not None else self.shift
+        d_np = np.asarray(d)
+        limited_d = d_np[np.asarray(rows)] if rows is not None else d_np
+
+        term2 = np.outer(d_mat, limited_shift)
+        term3 = np.outer(limited_shift, d_mat)
+        term4 = np.outer(limited_shift, limited_shift) * np.sum(limited_d)
+        res = term2 + term3 + term4
+
+        if _is_diag(term1):
+            idx = np.arange(res.shape[0])
+            to_add = _diag_data(term1).copy()
+            if self.mult is not None:
+                to_add *= limited_mult**2
+            res[idx, idx] += to_add
+        else:
+            to_add = np.asarray(term1)
+            if self.mult is not None:
+                to_add = to_add * np.outer(limited_mult, limited_mult)
+            res += to_add
+        return res
+
+    # -- conversions / plumbing -------------------------------------------
+
+    def unstandardize(self) -> MatrixBase:
+        """Return the inner (unstandardized) matrix."""
+        return self.mat
+
+    def getcol(self, i: int):
+        """Column ``i`` as a StandardizedMatrix over the inner column."""
+        mult = None
+        if self.mult is not None:
+            mult = [self.mult[i]]
+        col = self.mat.getcol(i)
+        return StandardizedMatrix(col, [self.shift[i]], mult)
+
+    def toarray(self) -> np.ndarray:
+        """Densify: ``mult * mat + shift``."""
+        mat_part = self.mat.toarray()
+        if self.mult is not None:
+            mat_part = self.mult[None, :] * mat_part
+        return mat_part + self.shift[None, :]
+
+    @property
+    def A(self) -> np.ndarray:
+        """Alias for toarray()."""
+        return self.toarray()
+
+    def astype(self, dtype, order="K", casting="unsafe", copy=True):
+        """Cast the inner matrix and shift."""
+        return type(self)(
+            self.mat.astype(dtype, casting=casting, copy=copy),
+            self.shift.astype(dtype, order=order, casting=casting, copy=copy),
+            self.mult if self.mult is None else self.mult.astype(dtype),
+        )
+
+    def multiply(self, other):
+        """Row-wise scaling (densifies)."""
+        from .dense import DenseMatrix
+
+        return DenseMatrix(self.toarray()).multiply(other)
+
+    def __matmul__(self, other):
+        return self.matvec(other)
+
+    def __rmatmul__(self, other):
+        if not hasattr(other, "T"):
+            other = np.asarray(other)
+        return self.transpose_matvec(other.T).T
+
+    def __getitem__(self, item):
+        if isinstance(item, tuple):
+            row, col = item
+        else:
+            row = item
+            col = slice(None, None, None)
+
+        mat_part = self.mat.__getitem__(item)
+        shift_part = self.shift[col]
+        mult_part = self.mult
+        if mult_part is not None:
+            mult_part = np.atleast_1d(mult_part[col])
+
+        if isinstance(row, int):
+            out = mat_part.toarray()
+            if mult_part is not None:
+                out = out * mult_part
+            return out + shift_part
+
+        return StandardizedMatrix(mat_part, np.atleast_1d(shift_part), mult_part)
+
+    def __repr__(self):
+        return (
+            f"StandardizedMat. Mat: {type(self.mat)} of shape {self.mat.shape}.\n"
+            f"Shift: {self.shift}\nMult: {self.mult}"
+        )
+
+    # -- names -------------------------------------------------------------
+
+    def get_names(
+        self,
+        type: str = "column",
+        missing_prefix: Optional[str] = None,
+        indices: Optional[list[int]] = None,
+    ) -> list[Optional[str]]:
+        """Delegate to the inner matrix."""
+        return self.mat.get_names(type, missing_prefix, indices)
+
+    def set_names(self, names: Union[str, list[Optional[str]]], type: str = "column"):
+        """Delegate to the inner matrix."""
+        self.mat.set_names(names, type)
+
+    @property
+    def column_names(self):
+        """Column names of the inner matrix."""
+        return self.get_names(type="column")
+
+    @column_names.setter
+    def column_names(self, names):
+        self.set_names(names, type="column")
+
+    @property
+    def term_names(self):
+        """Term names of the inner matrix."""
+        return self.get_names(type="term")
+
+    @term_names.setter
+    def term_names(self, names):
+        self.set_names(names, type="term")

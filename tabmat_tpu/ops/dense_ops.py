@@ -1,0 +1,150 @@
+"""Dense kernels: sandwich, matvec, transpose-matvec, weighted column stats.
+
+TPU-native replacement for the reference's BLIS-style C++ sandwich and
+row/col-restricted matvec kernels (``tabmat/ext/dense.pyx:19-122``,
+``ext/dense_helpers-tmpl.cpp:41-311``).  Design differences, deliberately:
+
+- No panel packing / register blocking: XLA tiles matmuls onto the MXU and
+  fuses the ``diag(d)`` scaling; float64 contractions use XLA's
+  software-emulated f64 path (accurate to ~1e-13 relative).
+- Row restriction = multiplying a 0/1 mask into ``d``/``vec`` — exact,
+  because every op is a linear reduction over rows.  Static shapes, no
+  copies of ``X``.
+- Column restriction = a gather along the small column axis, optionally
+  padded to power-of-two buckets so active-set shrinkage (GLM coordinate
+  descent) triggers O(log k) compiles instead of O(k).
+
+A fused float32 Pallas sandwich lives in ``tabmat_tpu.ops.pallas_kernels``
+and is selected automatically on TPU for f32 inputs.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _use_pallas_sandwich(X) -> bool:
+    from .._config import on_tpu
+
+    return X.dtype == jnp.float32 and on_tpu() and X.ndim == 2
+
+
+@jax.jit
+def _sandwich_jnp(X: jax.Array, d: jax.Array) -> jax.Array:
+    # X.T @ diag(d) @ X — let XLA fuse the scaling into the contraction.
+    Xd = X * d[:, None]
+    return jnp.einsum(
+        "ij,ik->jk", Xd, X, preferred_element_type=X.dtype
+    )
+
+
+def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
+    """Unrestricted sandwich ``X.T @ diag(d) @ X`` → (k, k)."""
+    if _use_pallas_sandwich(X):
+        from .pallas_kernels import dense_sandwich_f32
+
+        return dense_sandwich_f32(X, d)
+    return _sandwich_jnp(X, d)
+
+
+@jax.jit
+def apply_mask(v: jax.Array, mask: jax.Array) -> jax.Array:
+    """Multiplicative 0/1 row/col mask."""
+    return v * mask
+
+
+@jax.jit
+def matvec(X: jax.Array, v: jax.Array) -> jax.Array:
+    """``X @ v`` (v may be 1-d or 2-d)."""
+    return X @ v
+
+
+@jax.jit
+def transpose_matvec(X: jax.Array, v: jax.Array) -> jax.Array:
+    """``X.T @ v`` (v may be 1-d or 2-d)."""
+    return X.T @ v
+
+
+@jax.jit
+def gather_cols(X: jax.Array, cols: jax.Array) -> jax.Array:
+    """``X[:, cols]`` on device."""
+    return jnp.take(X, cols, axis=1)
+
+
+@jax.jit
+def scale_cols(X: jax.Array, colmask: jax.Array) -> jax.Array:
+    """Zero out unselected columns."""
+    return X * colmask[None, :]
+
+
+@jax.jit
+def transpose_square_dot_weights(
+    X: jax.Array, weights: jax.Array, shift: jax.Array
+) -> jax.Array:
+    """``sum_i weights[i] * (X[i, j] - shift[j])**2`` per column j.
+
+    The shifted form is the numerically robust variance used by the
+    reference for dense column stds (``tabmat/ext/dense.pyx:103-122``).
+    """
+    centered = X - shift[None, :]
+    return jnp.einsum(
+        "i,ij->j", weights, centered * centered, preferred_element_type=X.dtype
+    )
+
+
+# ----------------------------------------------------------------------
+# column-restriction helpers (host side)
+# ----------------------------------------------------------------------
+
+_BUCKET_MIN = 8
+
+
+def bucket_size(k: int) -> int:
+    """Round up to the next power of two (≥ 8) to bound compile count."""
+    b = _BUCKET_MIN
+    while b < k:
+        b <<= 1
+    return b
+
+
+def pad_cols(cols: np.ndarray, bucket: bool) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pad a column index array to its bucket size.
+
+    Returns (padded_cols, colmask, true_len): padded entries point at column
+    0 and are zeroed by ``colmask``, so downstream reductions stay exact;
+    callers slice the first ``true_len`` entries of any result axis.
+    """
+    k = len(cols)
+    if not bucket:
+        return cols, np.ones(k, dtype=np.float64), k
+    b = bucket_size(k)
+    padded = np.zeros(b, dtype=cols.dtype)
+    padded[:k] = cols
+    mask = np.zeros(b, dtype=np.float64)
+    mask[:k] = 1
+    return padded, mask, k
+
+
+def sandwich_restricted(
+    X: jax.Array,
+    d: jax.Array,
+    row_mask: Optional[jax.Array],
+    cols: Optional[np.ndarray],
+    bucket: bool = True,
+) -> tuple[jax.Array, int]:
+    """Sandwich with active-set restriction.
+
+    Returns ``(S, k)`` where ``S`` is (B, B) with B ≥ k = number of selected
+    columns; the caller slices ``S[:k, :k]``.
+    """
+    dm = apply_mask(d, row_mask) if row_mask is not None else d
+    if cols is None:
+        S = sandwich(X, dm)
+        return S, S.shape[0]
+    padded, colmask, k = pad_cols(np.asarray(cols), bucket)
+    Xs = gather_cols(X, jnp.asarray(padded))
+    Xs = scale_cols(Xs, jnp.asarray(colmask, dtype=X.dtype))
+    return sandwich(Xs, dm), k
