@@ -1,0 +1,126 @@
+"""ctypes loader for the native host helpers (with pure-numpy fallbacks).
+
+The shared library is built by ``build.sh`` (g++ -O3 -fopenmp).  If it is
+missing we attempt one quiet in-place build; failing that, every entry
+point falls back to numpy, so the package works on any host.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "libtabmat_tpu_native.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        if os.environ.get("TABMAT_TPU_NO_NATIVE_BUILD", "0") == "1":
+            return None
+        try:
+            subprocess.run(
+                ["sh", os.path.join(_HERE, "build.sh")],
+                capture_output=True,
+                timeout=120,
+                check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.counting_argsort_i32.restype = ctypes.c_int
+        lib.counting_argsort_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.is_sorted_i64.restype = ctypes.c_int
+        lib.is_sorted_i64.argtypes = [ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        lib.combine_codes_i32.restype = None
+        lib.combine_codes_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return lib
+    except OSError:
+        return None
+
+
+def available() -> bool:
+    """True when the native library loaded."""
+    return _load() is not None
+
+
+def counting_argsort(keys: np.ndarray, num_segments: int):
+    """Stable argsort + segment bounds for bounded int keys.
+
+    Returns (perm int32 (n,), bounds int32 (num_segments+1,)).  Native
+    O(n + K) counting sort when available; numpy argsort fallback.
+    """
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    lib = _load()
+    if lib is not None:
+        n = len(keys)
+        perm = np.empty(n, dtype=np.int32)
+        bounds = np.empty(num_segments + 1, dtype=np.int32)
+        rc = lib.counting_argsort_i32(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            num_segments,
+            perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return perm, bounds
+    perm = np.argsort(keys, kind="stable").astype(np.int32)
+    sorted_keys = keys[perm]
+    bounds = np.searchsorted(
+        sorted_keys, np.arange(num_segments + 1, dtype=keys.dtype)
+    ).astype(np.int32)
+    return perm, bounds
+
+
+def is_sorted(arr: np.ndarray) -> bool:
+    """Non-decreasing check (native loop or numpy diff)."""
+    arr = np.ascontiguousarray(arr, dtype=np.int64)
+    lib = _load()
+    if lib is not None:
+        return bool(
+            lib.is_sorted_i64(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(arr)
+            )
+        )
+    return not np.any(np.diff(arr) < 0)
+
+
+def combine_codes(a: np.ndarray, b: np.ndarray, k2: int) -> np.ndarray:
+    """Combined categorical cross keys: a*k2+b where both valid, else -1."""
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    lib = _load()
+    if lib is not None:
+        out = np.empty(len(a), dtype=np.int32)
+        lib.combine_codes_i32(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(a),
+            k2,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+    return np.where((a >= 0) & (b >= 0), a.astype(np.int64) * k2 + b, -1).astype(
+        np.int64
+    )

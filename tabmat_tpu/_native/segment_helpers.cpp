@@ -1,0 +1,74 @@
+// Native host helpers for tabmat-tpu (C ABI, loaded via ctypes).
+//
+// The TPU kernels need a one-time host-side preprocessing step per matrix:
+// the SegmentPlan (stable argsort of an int code vector + segment bounds).
+// numpy's comparison argsort is O(n log n); categorical codes are bounded
+// ints, so a counting sort gets the plan in O(n + K) with OpenMP-friendly
+// memory streams.  This mirrors the role (not the design) of the
+// reference's Cython construction helpers (tabmat/ext/split.pyx:157-217).
+//
+// Build: see build.sh (g++ -O3 -fopenmp -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Stable counting argsort of int32 keys in [-n_neg_allowed, num_segments).
+// Negative keys (missing/dropped codes) are grouped in front so they fall
+// outside every [bounds[s], bounds[s+1]) window, matching numpy argsort of
+// signed ints.  Outputs: perm (n int32), bounds (num_segments+1 int32).
+// Returns 0 on success, -1 if a key >= num_segments is found.
+int counting_argsort_i32(const int32_t* keys, int64_t n, int32_t num_segments,
+                         int32_t* perm, int32_t* bounds) {
+  // counts[0] collects all negative keys; counts[k+1] collects key k
+  std::vector<int64_t> counts(static_cast<size_t>(num_segments) + 2, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t k = keys[i];
+    if (k >= num_segments) return -1;
+    counts[k < 0 ? 0 : static_cast<size_t>(k) + 1]++;
+  }
+  // exclusive prefix sums -> start offsets
+  std::vector<int64_t> offsets(counts.size() + 1, 0);
+  for (size_t s = 0; s < counts.size(); ++s) offsets[s + 1] = offsets[s] + counts[s];
+  for (int32_t s = 0; s <= num_segments; ++s) {
+    bounds[s] = static_cast<int32_t>(offsets[static_cast<size_t>(s) + 1]);
+  }
+  // stable scatter pass
+  std::vector<int64_t> cursor(offsets.begin(), offsets.end() - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t k = keys[i];
+    size_t bucket = k < 0 ? 0 : static_cast<size_t>(k) + 1;
+    perm[cursor[bucket]++] = static_cast<int32_t>(i);
+  }
+  return 0;
+}
+
+// 1 if the int64 array is non-decreasing, else 0.
+int is_sorted_i64(const int64_t* arr, int64_t n) {
+  for (int64_t i = 1; i < n; ++i) {
+    if (arr[i] < arr[i - 1]) return 0;
+  }
+  return 1;
+}
+
+// Row-wise nonzero counting for a boolean/filter mask has no native need;
+// density scans stay in numpy.  Combined-key builder for categorical
+// cross-sandwiches: key = (a>=0 && b>=0) ? a*K2+b : -1.
+void combine_codes_i32(const int32_t* a, const int32_t* b, int64_t n,
+                       int32_t k2, int32_t* out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t ai = a[i], bi = b[i];
+    out[i] = (ai >= 0 && bi >= 0) ? ai * k2 + bi : -1;
+  }
+}
+
+}  // extern "C"

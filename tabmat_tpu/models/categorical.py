@@ -375,16 +375,42 @@ class CategoricalMatrix(MatrixBase):
             res = res[np.asarray(L_cols)]
         return res
 
+    # Above this, the cross plan compresses to observed pairs instead of
+    # allocating K1*K2 segment bounds.
+    _CROSS_DENSE_PLAN_MAX = 1 << 24
+
     def _cross_categorical(self, other, d, rows, L_cols, R_cols) -> np.ndarray:
-        """cat.T @ diag(d) @ cat: segment-sum of d over combined codes."""
+        """cat.T @ diag(d) @ cat: segment-sum of d over combined codes.
+
+        Small products get a direct K1·K2-segment plan; large products use a
+        compressed plan over the *observed* code pairs (≤ n of them) so
+        memory stays O(n + K1·K2-output) instead of O(K1·K2) bounds.
+        """
         K1, K2 = self.shape[1], other.shape[1]
-        plan = self._cross_plans.get(id(other))
-        if plan is None:
-            e1 = self._eff_codes_np
-            e2 = other._eff_codes_np
-            combined = np.where((e1 >= 0) & (e2 >= 0), e1 * K2 + e2, -1)
-            plan = build_plan(combined, K1 * K2)
-            self._cross_plans[id(other)] = plan
+        if K1 * K2 > 2**31:
+            raise MemoryError(
+                f"cat × cat cross-sandwich output would have {K1}×{K2} "
+                "entries; this is infeasible to densify."
+            )
+        cached = self._cross_plans.get(id(other))
+        if cached is None:
+            e1, e2 = self._eff_codes_np, other._eff_codes_np
+            from .. import _native
+
+            combined = _native.combine_codes(
+                e1.astype(np.int32, copy=False),
+                e2.astype(np.int32, copy=False),
+                K2,
+            )
+            if K1 * K2 <= self._CROSS_DENSE_PLAN_MAX:
+                plan = build_plan(combined, K1 * K2)
+                uniq = None
+            else:
+                uniq, inverse = np.unique(combined, return_inverse=True)
+                plan = build_plan(inverse.astype(np.int64), len(uniq))
+            cached = (plan, uniq)
+            self._cross_plans[id(other)] = cached
+        plan, uniq = cached
 
         d_dev = jnp.asarray(np.asarray(d) if not is_jax_array(d) else d)
         mask = rows_to_mask(
@@ -393,7 +419,13 @@ class CategoricalMatrix(MatrixBase):
             np.dtype(d_dev.dtype),
         )
         vals = d_dev if mask is None else d_dev * jnp.asarray(mask)
-        res = np.asarray(plan.sum(vals)).reshape(K1, K2)
+        sums = np.asarray(plan.sum(vals))
+        if uniq is None:
+            res = sums.reshape(K1, K2)
+        else:
+            res = np.zeros((K1, K2), dtype=sums.dtype)
+            valid = uniq >= 0
+            res[uniq[valid] // K2, uniq[valid] % K2] = sums[valid]
         if L_cols is not None and len(L_cols) < K1:
             res = res[np.asarray(L_cols)]
         if R_cols is not None and len(R_cols) < K2:

@@ -202,9 +202,11 @@ class SplitMatrix(MatrixBase):
                     "Indices should contain all integers from 0 to one less than "
                     "the number of columns."
                 )
+            from .. import _native
+
             for i in range(len(indices)):
                 indices[i] = np.asarray(indices[i])
-                if np.any(np.diff(indices[i]) < 0):
+                if not _native.is_sorted(indices[i]):
                     raise ValueError(
                         f"Each index block should be sorted, but indices[{i}] was "
                         "not sorted"

@@ -51,19 +51,34 @@ class SegmentPlan:
 
 
 def build_plan(keys: np.ndarray, num_segments: int) -> SegmentPlan:
-    """Build a SegmentPlan on the host (numpy argsort; done once per matrix).
+    """Build a SegmentPlan on the host (done once per matrix).
 
-    Host construction is deliberate: ``np.argsort`` is fast, runs while the
-    device is busy, and avoids paying a device sort compile for every new
-    (n,) shape.  Out-of-range keys (e.g. -1 for missing categories) sort
-    before/after the valid range and simply fall outside every bound pair.
+    Host construction is deliberate: it runs while the device is busy and
+    avoids paying a device sort compile for every new (n,) shape.  Keys are
+    bounded ints, so the native O(n + K) counting sort is used when the
+    helper library is available (``tabmat_tpu._native``), with a numpy
+    argsort fallback.  Out-of-range keys (e.g. -1 for missing categories)
+    sort to the front and fall outside every bound pair.
     """
     keys = np.asarray(keys)
-    perm = np.argsort(keys, kind="stable").astype(np.int32)
-    sorted_keys = keys[perm]
-    bounds = np.searchsorted(
-        sorted_keys, np.arange(num_segments + 1, dtype=keys.dtype)
-    ).astype(np.int32)
+    if keys.dtype != np.int32 and num_segments < 2**31 and (
+        len(keys) == 0 or keys.max(initial=0) < 2**31
+    ):
+        keys32 = keys.astype(np.int32, copy=False)
+    else:
+        keys32 = keys
+
+    # counting sort allocates O(num_segments) — cap to keep memory bounded
+    if keys32.dtype == np.int32 and num_segments <= (1 << 24):
+        from .. import _native
+
+        perm, bounds = _native.counting_argsort(keys32, num_segments)
+    else:
+        perm = np.argsort(keys, kind="stable").astype(np.int64)
+        sorted_keys = keys[perm]
+        bounds = np.searchsorted(
+            sorted_keys, np.arange(num_segments + 1, dtype=keys.dtype)
+        ).astype(np.int64)
     return SegmentPlan(
         perm=jnp.asarray(perm),
         bounds=jnp.asarray(bounds),
