@@ -144,10 +144,13 @@ class CategoricalMatrix(MatrixBase):
         if categories is not None:
             self.categories = np.asarray(categories)
             codes = np.nan_to_num(np.asarray(cat_vec), nan=-1)
-            if np.max(codes) >= len(self.categories):
-                raise ValueError("Indices exceed length of categories.")
-            if np.min(codes) < -1:
-                raise ValueError("Indices must be non-negative (or -1 for missing).")
+            if codes.size:
+                if np.max(codes) >= len(self.categories):
+                    raise ValueError("Indices exceed length of categories.")
+                if np.min(codes) < -1:
+                    raise ValueError(
+                        "Indices must be non-negative (or -1 for missing)."
+                    )
         else:
             codes, self.categories = _extract_codes_and_categories(cat_vec)
 
