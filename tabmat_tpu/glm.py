@@ -110,10 +110,24 @@ def fit_glm(
     """Fit a GLM by IRLS; accepts numpy/jax arrays or a tabmat DenseMatrix.
 
     Returns (beta, n_iter).  Convergence: max |Δβ| < tol.
+
+    ``X`` may be a numpy/jax array, a DenseMatrix, or ANY MatrixBase /
+    StandardizedMatrix (SplitMatrix designs included) — non-dense matrices
+    are converted to a jit-compatible :class:`DeviceDesign`, so the whole
+    step still compiles into one XLA program.
     """
-    if hasattr(X, "unpack"):
+    from .models.base import MatrixBase
+    from .models.dense import DenseMatrix
+    from .models.standardized import StandardizedMatrix
+
+    if isinstance(X, DenseMatrix):
         X = X.unpack()
-    X = jnp.asarray(X)
+    elif isinstance(X, (MatrixBase, StandardizedMatrix)):
+        from .parallel.design import DeviceDesign
+
+        X = DeviceDesign.from_matrix(X)
+    if not hasattr(X, "blocks"):
+        X = jnp.asarray(X)
     y = jnp.asarray(np.asarray(y))
     if sample_weight is None:
         sample_weight = jnp.ones(X.shape[0], dtype=X.dtype)

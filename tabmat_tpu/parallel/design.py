@@ -1,0 +1,221 @@
+"""DeviceDesign: any MatrixBase as a jit-compatible functional pytree.
+
+The class layer (``tabmat_tpu.models``) is host-driven: each op is its own
+device dispatch.  For training loops (IRLS, coordinate descent) we want the
+WHOLE step — matvec, weighting, transpose-matvec, CG — inside one jitted XLA
+program.  ``DeviceDesign.from_matrix`` converts DenseMatrix / SparseMatrix /
+CategoricalMatrix / SplitMatrix / StandardizedMatrix into a pytree of device
+arrays + static structure, exposing traceable ``@`` and ``.T @`` so
+``tabmat_tpu.glm.irls_step`` works on it unchanged.
+
+Block math (scatter-free, sharding-friendly — rows may shard over 'dp'):
+- dense:        MXU contraction
+- sparse:       CSR/CSC boundary-segmented cumsums
+- categorical:  gather / SegmentPlan cumsum
+- standardized: inner ops + rank-1 shift/mult corrections
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class _Block:
+    """One column block: static descriptor + device arrays."""
+
+    def __init__(self, kind: str, arrays: dict, width: int, positions: np.ndarray):
+        self.kind = kind
+        self.arrays = arrays
+        self.width = width
+        self.positions = positions  # global column indices (host numpy)
+
+
+class DeviceDesign:
+    """A traceable linear operator assembled from matrix blocks."""
+
+    def __init__(self, blocks, n_rows: int, n_cols: int, shift=None, mult=None,
+                 index_map=None):
+        self.blocks = blocks
+        self.shape = (n_rows, n_cols)
+        self.shift = shift  # standardization: x -> mult*x + shift (per col)
+        self.mult = mult
+        # gather map placing concat(block outputs) into global column order
+        if index_map is None:
+            index_map = np.concatenate([b.positions for b in blocks])
+            index_map = np.argsort(index_map, kind="stable")
+        self._index_map = jnp.asarray(np.asarray(index_map, dtype=np.int32))
+        # inverse: global order -> concat order (for splitting v by block)
+        order = np.concatenate([b.positions for b in blocks])
+        self._gather_v = jnp.asarray(np.asarray(order, dtype=np.int32))
+
+    @property
+    def dtype(self):
+        """Float dtype of the design (from the first float-valued block)."""
+        for b in self.blocks:
+            for key in ("X", "csr_data"):
+                if key in b.arrays:
+                    return b.arrays[key].dtype
+        return jnp.float64
+
+    # -- conversion ------------------------------------------------------
+
+    @classmethod
+    def from_matrix(cls, mat) -> "DeviceDesign":
+        """Convert any MatrixBase / StandardizedMatrix to a DeviceDesign."""
+        from ..models.categorical import CategoricalMatrix
+        from ..models.dense import DenseMatrix
+        from ..models.sparse import SparseMatrix
+        from ..models.split import SplitMatrix
+        from ..models.standardized import StandardizedMatrix
+
+        if isinstance(mat, StandardizedMatrix):
+            inner = cls.from_matrix(mat.mat)
+            inner.shift = jnp.asarray(mat.shift)
+            inner.mult = None if mat.mult is None else jnp.asarray(mat.mult)
+            return inner
+
+        def block_of(m, positions) -> _Block:
+            if isinstance(m, DenseMatrix):
+                return _Block("dense", {"X": m.unpack()}, m.shape[1], positions)
+            if isinstance(m, SparseMatrix):
+                data_r, cols_r, bounds_r = m._csr_parts()
+                data_c, rows_c, bounds_c = m._csc_parts()
+                return _Block(
+                    "sparse",
+                    {
+                        "csr_data": data_r, "csr_cols": cols_r, "csr_bounds": bounds_r,
+                        "csc_data": data_c, "csc_rows": rows_c, "csc_bounds": bounds_c,
+                    },
+                    m.shape[1],
+                    positions,
+                )
+            if isinstance(m, CategoricalMatrix):
+                plan = m.plan
+                return _Block(
+                    "cat",
+                    {"codes": m.eff_codes, "perm": plan.perm, "bounds": plan.bounds},
+                    m.shape[1],
+                    positions,
+                )
+            raise TypeError(f"Cannot convert {type(m).__name__} to a DeviceDesign")
+
+        if isinstance(mat, SplitMatrix):
+            blocks = [
+                block_of(m, idx) for m, idx in zip(mat.matrices, mat.indices)
+            ]
+            return cls(blocks, mat.shape[0], mat.shape[1])
+        blocks = [block_of(mat, np.arange(mat.shape[1]))]
+        return cls(blocks, mat.shape[0], mat.shape[1])
+
+    # -- traceable ops ------------------------------------------------------
+
+    def _block_matvec(self, block: _Block, v: jax.Array) -> jax.Array:
+        a = block.arrays
+        if block.kind == "dense":
+            return a["X"] @ v
+        if block.kind == "sparse":
+            t = a["csr_data"] * jnp.take(v, a["csr_cols"])
+            csum = jnp.cumsum(t)
+            p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            return jnp.take(p, a["csr_bounds"][1:]) - jnp.take(p, a["csr_bounds"][:-1])
+        # categorical: gather (negative codes contribute zero)
+        codes = a["codes"]
+        valid = codes >= 0
+        g = jnp.take(v, jnp.clip(codes, 0, block.width - 1))
+        return jnp.where(valid, g, jnp.zeros((), g.dtype))
+
+    def _block_tmv(self, block: _Block, r: jax.Array) -> jax.Array:
+        a = block.arrays
+        if block.kind == "dense":
+            return a["X"].T @ r
+        if block.kind == "sparse":
+            t = a["csc_data"] * jnp.take(r, a["csc_rows"])
+            csum = jnp.cumsum(t)
+            p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            return jnp.take(p, a["csc_bounds"][1:]) - jnp.take(p, a["csc_bounds"][:-1])
+        g = jnp.take(r, a["perm"])
+        csum = jnp.cumsum(g)
+        p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+        return jnp.take(p, a["bounds"][1:]) - jnp.take(p, a["bounds"][:-1])
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        """``X @ v`` (traceable)."""
+        v_eff = v * self.mult if self.mult is not None else v
+        v_blocks = jnp.take(v_eff, self._gather_v)
+        out = jnp.zeros(self.shape[0], dtype=v_eff.dtype)
+        off = 0
+        for b in self.blocks:
+            out = out + self._block_matvec(b, v_blocks[off : off + b.width])
+            off += b.width
+        if self.shift is not None:
+            out = out + jnp.dot(self.shift, v)
+        return out
+
+    def transpose_matvec(self, r: jax.Array) -> jax.Array:
+        """``X.T @ r`` (traceable)."""
+        segs = [self._block_tmv(b, r) for b in self.blocks]
+        flat = jnp.concatenate(segs)
+        out = jnp.take(flat, self._index_map)
+        if self.mult is not None:
+            out = out * self.mult
+        if self.shift is not None:
+            out = out + self.shift * jnp.sum(r)
+        return out
+
+    # operator sugar so glm.irls_step works unchanged
+    def __matmul__(self, v):
+        return self.matvec(v)
+
+    @property
+    def T(self):
+        return _TransposedDesign(self)
+
+
+class _TransposedDesign:
+    def __init__(self, design: DeviceDesign):
+        self._design = design
+
+    def __matmul__(self, r):
+        return self._design.transpose_matvec(r)
+
+
+def _design_flatten(d: DeviceDesign):
+    children = []
+    for b in d.blocks:
+        children.extend(b.arrays.values())
+    children.append(d.shift)
+    children.append(d.mult)
+    children.append(d._index_map)
+    children.append(d._gather_v)
+    aux = (
+        tuple((b.kind, tuple(b.arrays.keys()), b.width, b.positions.tobytes(),
+               b.positions.dtype.str, len(b.positions)) for b in d.blocks),
+        d.shape,
+    )
+    return children, aux
+
+
+def _design_unflatten(aux, children):
+    block_descs, shape = aux
+    d = object.__new__(DeviceDesign)
+    blocks = []
+    i = 0
+    for kind, keys, width, pos_bytes, pos_dtype, pos_len in block_descs:
+        arrays = {}
+        for k in keys:
+            arrays[k] = children[i]
+            i += 1
+        positions = np.frombuffer(pos_bytes, dtype=np.dtype(pos_dtype), count=pos_len)
+        blocks.append(_Block(kind, arrays, width, positions))
+    d.blocks = blocks
+    d.shape = shape
+    d.shift = children[i]
+    d.mult = children[i + 1]
+    d._index_map = children[i + 2]
+    d._gather_v = children[i + 3]
+    return d
+
+
+jax.tree_util.register_pytree_node(DeviceDesign, _design_flatten, _design_unflatten)

@@ -1,0 +1,99 @@
+"""DeviceDesign: traceable matvec/tmv parity + jitted GLM on mixed designs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import sparse as sps
+
+import tabmat_tpu as tm
+from tabmat_tpu.glm import fit_glm, irls_step
+from tabmat_tpu.parallel.design import DeviceDesign
+
+
+def make_split(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    return tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 3))),
+            tm.SparseMatrix(sps.random(n, 4, density=0.3, random_state=seed)),
+            tm.CategoricalMatrix(rng.integers(0, 5, n), categories=np.arange(5)),
+        ],
+        [np.array([0, 3, 6]), np.array([1, 4, 7, 8]), np.array([2, 5, 9, 10, 11])],
+    )
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: tm.DenseMatrix(np.random.default_rng(0).standard_normal((40, 5))),
+        lambda: tm.SparseMatrix(sps.random(40, 5, density=0.3, random_state=0)),
+        lambda: tm.CategoricalMatrix(
+            np.random.default_rng(0).integers(0, 5, 40), categories=np.arange(5)
+        ),
+        make_split,
+    ],
+    ids=["dense", "sparse", "cat", "split"],
+)
+def test_matvec_tmv_parity(make):
+    mat = make()
+    design = DeviceDesign.from_matrix(mat)
+    arr = mat.toarray()
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal(mat.shape[1]))
+    r = jnp.asarray(rng.standard_normal(mat.shape[0]))
+    np.testing.assert_allclose(np.asarray(design @ v), arr @ np.asarray(v), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(design.T @ r), arr.T @ np.asarray(r), atol=1e-12
+    )
+
+
+def test_standardized_design():
+    mat = make_split()
+    w = np.full(mat.shape[0], 1 / mat.shape[0])
+    std, _, _ = mat.standardize(w, True, True)
+    design = DeviceDesign.from_matrix(std)
+    arr = std.toarray()
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal(mat.shape[1]))
+    r = jnp.asarray(rng.standard_normal(mat.shape[0]))
+    np.testing.assert_allclose(np.asarray(design @ v), arr @ np.asarray(v), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(design.T @ r), arr.T @ np.asarray(r), atol=1e-12
+    )
+
+
+def test_design_is_jittable():
+    mat = make_split()
+    design = DeviceDesign.from_matrix(mat)
+
+    @jax.jit
+    def f(d, v):
+        return d @ v
+
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(mat.shape[1]))
+    np.testing.assert_allclose(
+        np.asarray(f(design, v)), mat.toarray() @ np.asarray(v), atol=1e-12
+    )
+
+
+def test_glm_on_split_matrix():
+    rng = np.random.default_rng(3)
+    mat = make_split(n=400, seed=3)
+    arr = mat.toarray()
+    beta_true = rng.standard_normal(mat.shape[1]) * 0.5
+    y = arr @ beta_true + 0.01 * rng.standard_normal(400)
+    beta, n_iter = fit_glm(mat, y, family="gaussian", n_cg=60, l2=1e-10)
+    ref = np.linalg.lstsq(arr, np.asarray(y), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(beta), ref, atol=1e-5)
+
+
+def test_irls_step_jit_on_design():
+    mat = make_split(n=200, seed=4)
+    design = DeviceDesign.from_matrix(mat)
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.poisson(1.5, 200).astype(np.float64))
+    w = jnp.ones(200, dtype=jnp.float64)
+    beta = jnp.zeros(mat.shape[1], dtype=jnp.float64)
+    out = irls_step(design, y, w, beta, family="poisson", n_cg=5)
+    assert np.all(np.isfinite(np.asarray(out)))
