@@ -83,15 +83,26 @@ def irls_step(
 
     The Hessian-vector product is two sandwich-structured matvecs —
     ``Hv = Xᵀ (w ⊙ (X v)) + l2·v`` — which XLA maps onto the MXU and, under
-    a row-sharded mesh, reduces with a single psum per matvec.
+    a row-sharded mesh, reduces with a single psum per matvec.  For plain
+    dense arrays the long (row) contraction goes through the exact-f64
+    chunked kernel on TPU (see ``ops.dense_ops``).
     """
-    eta = X @ beta
+    from .ops import dense_ops
+
+    if isinstance(X, jax.Array):
+        mv = lambda v: dense_ops.matvec(X, v)  # noqa: E731
+        tmv = lambda r: dense_ops.transpose_matvec(X, r)  # noqa: E731
+    else:
+        mv = lambda v: X @ v  # noqa: E731
+        tmv = lambda r: X.T @ r  # noqa: E731
+
+    eta = mv(beta)
     mu, w_irls, resid = _family_terms(family, eta, y)
     w = sample_weight * w_irls
-    grad = X.T @ (sample_weight * resid) - l2 * beta
+    grad = tmv(sample_weight * resid) - l2 * beta
 
     def hvp(v):
-        return X.T @ (w * (X @ v)) + l2 * v
+        return tmv(w * mv(v)) + l2 * v
 
     delta = _cg_solve(hvp, grad, n_cg)
     return beta + delta

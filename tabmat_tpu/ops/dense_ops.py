@@ -32,6 +32,20 @@ def _use_pallas_sandwich(X) -> bool:
     return X.dtype == jnp.float32 and on_tpu() and X.ndim == 2
 
 
+# The TPU backend's emulated-f64 dot is exact only up to ~4k contraction
+# length, then degrades to ~2e-8 relative error (measured; see
+# tests/test_tpu_precision.py).  Long f64 contractions are therefore chunked
+# at _F64_CHUNK rows with float64 inter-chunk accumulation on the VPU, which
+# keeps every reduction correctly rounded at any n.
+_F64_CHUNK = 4096
+
+
+def _needs_exact_f64_chunking(dtype) -> bool:
+    from .._config import on_tpu
+
+    return dtype == jnp.float64 and on_tpu()
+
+
 @jax.jit
 def _sandwich_jnp(X: jax.Array, d: jax.Array) -> jax.Array:
     # X.T @ diag(d) @ X — let XLA fuse the scaling into the contraction.
@@ -41,12 +55,38 @@ def _sandwich_jnp(X: jax.Array, d: jax.Array) -> jax.Array:
     )
 
 
+@jax.jit
+def _sandwich_f64_chunked(X: jax.Array, d: jax.Array) -> jax.Array:
+    """Exact-f64 sandwich: scan of ≤_F64_CHUNK-row MXU partials, f64 adds."""
+    n, k = X.shape
+    n_pad = -(-n // _F64_CHUNK) * _F64_CHUNK
+    Xp = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+    dp = jnp.pad(d, (0, n_pad - n))
+    Xr = Xp.reshape(-1, _F64_CHUNK, k)
+    dr = dp.reshape(-1, _F64_CHUNK)
+
+    def body(acc, xs):
+        Xc, dc = xs
+        part = jax.lax.dot_general(
+            Xc * dc[:, None],
+            Xc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float64,
+        )
+        return acc + part, None
+
+    S, _ = jax.lax.scan(body, jnp.zeros((k, k), X.dtype), (Xr, dr))
+    return S
+
+
 def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
     """Unrestricted sandwich ``X.T @ diag(d) @ X`` → (k, k)."""
     if _use_pallas_sandwich(X):
         from .pallas_kernels import dense_sandwich_f32
 
         return dense_sandwich_f32(X, d)
+    if _needs_exact_f64_chunking(X.dtype) and X.shape[0] > _F64_CHUNK:
+        return _sandwich_f64_chunked(X, d)
     return _sandwich_jnp(X, d)
 
 
@@ -63,8 +103,33 @@ def matvec(X: jax.Array, v: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _transpose_matvec_f64_chunked(X: jax.Array, v: jax.Array) -> jax.Array:
+    """Exact-f64 ``X.T @ v``: chunked partial dots + f64 accumulation."""
+    n, k = X.shape
+    n_pad = -(-n // _F64_CHUNK) * _F64_CHUNK
+    Xp = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+    vp = jnp.pad(v, [(0, n_pad - n)] + [(0, 0)] * (v.ndim - 1))
+    Xr = Xp.reshape(-1, _F64_CHUNK, k)
+    vr = vp.reshape((-1, _F64_CHUNK) + v.shape[1:])
+
+    def body(acc, xs):
+        Xc, vc = xs
+        return acc + jnp.tensordot(Xc.T, vc, axes=1), None
+
+    out0 = jnp.zeros((k,) + v.shape[1:], X.dtype)
+    out, _ = jax.lax.scan(body, out0, (Xr, vr))
+    return out
+
+
 def transpose_matvec(X: jax.Array, v: jax.Array) -> jax.Array:
-    """``X.T @ v`` (v may be 1-d or 2-d)."""
+    """``X.T @ v`` (v may be 1-d or 2-d); exact-f64 chunking on TPU."""
+    if _needs_exact_f64_chunking(X.dtype) and X.shape[0] > _F64_CHUNK:
+        return _transpose_matvec_f64_chunked(X, v)
+    return _transpose_matvec_jnp(X, v)
+
+
+@jax.jit
+def _transpose_matvec_jnp(X: jax.Array, v: jax.Array) -> jax.Array:
     return X.T @ v
 
 
@@ -88,11 +153,11 @@ def transpose_square_dot_weights(
 
     The shifted form is the numerically robust variance used by the
     reference for dense column stds (``tabmat/ext/dense.pyx:103-122``).
+    An explicit axis-0 sum (VPU reduce, correctly rounded at any n) is used
+    instead of a dot-style contraction.
     """
     centered = X - shift[None, :]
-    return jnp.einsum(
-        "i,ij->j", weights, centered * centered, preferred_element_type=X.dtype
-    )
+    return jnp.sum(weights[:, None] * centered * centered, axis=0)
 
 
 # ----------------------------------------------------------------------

@@ -129,7 +129,9 @@ class DeviceDesign:
     def _block_tmv(self, block: _Block, r: jax.Array) -> jax.Array:
         a = block.arrays
         if block.kind == "dense":
-            return a["X"].T @ r
+            from ..ops import dense_ops
+
+            return dense_ops.transpose_matvec(a["X"], r)
         if block.kind == "sparse":
             t = a["csc_data"] * jnp.take(r, a["csc_rows"])
             csum = jnp.cumsum(t)
