@@ -53,6 +53,14 @@ def _load():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.expand_pairs_csr_i64.restype = None
+        lib.expand_pairs_csr_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return lib
     except OSError:
@@ -104,6 +112,46 @@ def is_sorted(arr: np.ndarray) -> bool:
             )
         )
     return not np.any(np.diff(arr) < 0)
+
+
+def expand_pairs_csr(indptr: np.ndarray):
+    """All ordered within-row nonzero pairs of a CSR structure.
+
+    Returns (ia, ib, row) int32 arrays of length sum(nnz_r^2): positions of
+    the pair members in the data array and the owning row.  Native loop when
+    available; vectorized numpy fallback.
+    """
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    n_rows = len(indptr) - 1
+    counts = np.diff(indptr)
+    n_pairs = int((counts * counts).sum())
+    lib = _load()
+    if lib is not None:
+        ia = np.empty(n_pairs, dtype=np.int32)
+        ib = np.empty(n_pairs, dtype=np.int32)
+        row = np.empty(n_pairs, dtype=np.int32)
+        lib.expand_pairs_csr_i64(
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_rows,
+            ia.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ib.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return ia, ib, row
+    # numpy fallback: per-pair local indices via cumsum arithmetic
+    pair_counts = counts * counts
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), pair_counts)
+    pair_starts = np.concatenate([[0], np.cumsum(pair_counts)])
+    q = np.arange(n_pairs, dtype=np.int64) - pair_starts[row]
+    c_r = counts[row]
+    a_local = q // np.maximum(c_r, 1)
+    b_local = q % np.maximum(c_r, 1)
+    start = indptr[row]
+    return (
+        (start + a_local).astype(np.int32),
+        (start + b_local).astype(np.int32),
+        row.astype(np.int32),
+    )
 
 
 def combine_codes(a: np.ndarray, b: np.ndarray, k2: int) -> np.ndarray:

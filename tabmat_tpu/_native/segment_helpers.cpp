@@ -71,4 +71,26 @@ void combine_codes_i32(const int32_t* a, const int32_t* b, int64_t n,
   }
 }
 
+// Enumerate all within-row nonzero pairs of a CSR matrix.
+// For each row r and each ordered pair (a, b) of its nonzero positions,
+// emits (ia, ib, row).  Pair count must be precomputed by the caller as
+// sum(nnz_r^2).  This is the construction-time half of the pair-expansion
+// sparse sandwich: at op time the device segment-sums
+// data[ia]*data[ib]*d[row] by the (col[ia], col[ib]) key.
+void expand_pairs_csr_i64(const int64_t* indptr, int64_t n_rows,
+                          int32_t* ia, int32_t* ib, int32_t* row) {
+  int64_t out = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t start = indptr[r], end = indptr[r + 1];
+    for (int64_t a = start; a < end; ++a) {
+      for (int64_t b = start; b < end; ++b) {
+        ia[out] = static_cast<int32_t>(a);
+        ib[out] = static_cast<int32_t>(b);
+        row[out] = static_cast<int32_t>(r);
+        ++out;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -40,6 +40,20 @@ from .base import MatrixBase
 DENSE_SANDWICH_MAX_COLS = 4096
 # Element budget for the densified mirror (n*k); above this, stay sparse.
 DENSE_SANDWICH_MAX_ELEMENTS = 1 << 28
+# Pair-expansion sandwich budget: sum(nnz_r^2) pairs and k^2 segments.
+PAIR_SANDWICH_MAX_PAIRS = 50_000_000
+PAIR_SANDWICH_MAX_SEGMENTS = 1 << 26
+
+
+@jax.jit
+def _pair_values(csr_data, ia, ib, row, dm):
+    """Pair products for the pair-expansion sandwich (pure gathers)."""
+    return jnp.take(csr_data, ia) * jnp.take(csr_data, ib) * jnp.take(dm, row)
+
+
+def _pair_sandwich_op(csr_data, ia, ib, row, dm, plan, k):
+    """Device half of the pair-expansion sandwich: gathers + one segment sum."""
+    return plan.sum(_pair_values(csr_data, ia, ib, row, dm)).reshape(k, k)
 
 
 class SparseMatrix(MatrixBase):
@@ -94,6 +108,7 @@ class SparseMatrix(MatrixBase):
         self._dev_csr = None
         self._dev_csc = None
         self._dev_dense = None
+        self._pair_plan = None  # (plan, ia, ib, row) for the pair sandwich
 
     # -- device mirrors --------------------------------------------------
 
@@ -120,6 +135,38 @@ class SparseMatrix(MatrixBase):
                 jnp.asarray(csc.indptr),
             )
         return self._dev_csc
+
+    def _pair_sandwich_parts(self):
+        """Pair-expansion sandwich precompute (built once, or None if too big).
+
+        The sandwich is ``S[i,j] = Σ_r d_r Σ_{(a,b)∈nnz(r)²} data_a data_b``
+        keyed by ``(col_a, col_b)`` — a single segment-sum over all within-row
+        nonzero pairs.  Feasible when sum(nnz_r²) and k² are bounded; that is
+        the typical GLM regime (narrow-ish, very sparse).
+        """
+        n, k = self.shape
+        if self._pair_plan is not None:
+            return self._pair_plan if self._pair_plan != () else None
+        csr = self.array_csr
+        counts = np.diff(csr.indptr)
+        n_pairs = int((counts.astype(np.int64) ** 2).sum())
+        if n_pairs > PAIR_SANDWICH_MAX_PAIRS or k * k > PAIR_SANDWICH_MAX_SEGMENTS:
+            self._pair_plan = ()
+            return None
+        from .. import _native
+        from ..ops.segments import build_plan
+
+        ia, ib, row = _native.expand_pairs_csr(csr.indptr)
+        cols = csr.indices
+        keys = cols[ia].astype(np.int64) * k + cols[ib]
+        plan = build_plan(keys, k * k)
+        self._pair_plan = (
+            plan,
+            jnp.asarray(ia),
+            jnp.asarray(ib),
+            jnp.asarray(row),
+        )
+        return self._pair_plan
 
     def _dense_mirror(self) -> Optional[jax.Array]:
         """Densified device copy used by the sandwich (GLM-typical widths)."""
@@ -257,6 +304,24 @@ class SparseMatrix(MatrixBase):
         d_in = d
         d_np = np.asarray(d) if not is_jax_array(d) else d
         check_sandwich_compatible(self, d_np)
+
+        pair = self._pair_sandwich_parts()
+        if pair is not None:
+            plan, ia, ib, row = pair
+            csr_data = self._csr_parts()[0]
+            d_dev = jnp.asarray(d_np)
+            mask = rows_to_mask(
+                None if rows is None else np.asarray(rows), self.shape[0], self.dtype
+            )
+            dm = d_dev if mask is None else d_dev * jnp.asarray(mask)
+            S = _pair_sandwich_op(csr_data, ia, ib, row, dm, plan, self.shape[1])
+            if cols is not None and not is_full_length(cols, self.shape[1]):
+                c = np.asarray(cols)
+                if is_jax_array(d_in):
+                    ci = jnp.asarray(c.astype(np.int32))
+                    return jnp.take(jnp.take(S, ci, axis=0), ci, axis=1)
+                return np.asarray(S)[np.ix_(c, c)]
+            return S if is_jax_array(d_in) else np.asarray(S)
 
         dense = self._dense_mirror()
         if dense is not None:
