@@ -142,6 +142,41 @@ def main():
         _timeit_host(lambda: S_sp.T @ vrs_np),
     )
 
+    # ---------------- end-to-end GLM IRLS step (fused program) ----------------
+    from tabmat_tpu.glm import irls_step
+
+    X_dev = dm.unpack()
+    y_np = X_np @ rng.standard_normal(k) + 0.1 * rng.standard_normal(n)
+    y_dev = jnp.asarray(y_np)
+    w_dev = jnp.ones(n, dtype=jnp.float64)
+    beta_ring = ring(lambda: rng.standard_normal(k) * 0.01)
+
+    def glm_step_np(beta):
+        # identical algorithm in numpy (8 CG iterations, gaussian family)
+        resid = y_np - X_np @ beta
+        g = X_np.T @ resid
+        x = np.zeros_like(g)
+        r = g.copy()
+        p = r.copy()
+        rs = r @ r
+        for _ in range(8):
+            Ap = X_np.T @ (X_np @ p)
+            alpha = rs / max(p @ Ap, 1e-300)
+            x += alpha * p
+            r -= alpha * Ap
+            rs_new = r @ r
+            p = r + (rs_new / max(rs, 1e-300)) * p
+            rs = rs_new
+        return beta + x
+
+    results["glm_irls_step"] = (
+        _timeit_ring(
+            lambda b: irls_step(X_dev, y_dev, w_dev, b, family="gaussian", n_cg=8),
+            beta_ring,
+        ),
+        _timeit_host(lambda: glm_step_np(np.asarray(beta_ring[0])), 3),
+    )
+
     ours = np.array([v[0] for v in results.values()])
     base = np.array([v[1] for v in results.values()])
     geo_ms = float(np.exp(np.mean(np.log(ours))) * 1e3)
@@ -155,7 +190,7 @@ def main():
         json.dumps(
             {
                 "metric": "glm_core_ops_geomean_wallclock (dense 1Mx50 fp64, "
-                "cat 1Mx10k, sparse 400kx100; sandwich+matvec+tmv)",
+                "cat 1Mx10k, sparse 400kx100; sandwich+matvec+tmv+irls_step)",
                 "value": round(geo_ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(speedup, 4),

@@ -32,12 +32,12 @@ def _use_pallas_sandwich(X) -> bool:
     return X.dtype == jnp.float32 and on_tpu() and X.ndim == 2
 
 
-# The TPU backend's emulated-f64 dot is exact only up to ~4k contraction
-# length, then degrades to ~2e-8 relative error (measured; see
-# tests/test_tpu_precision.py).  Long f64 contractions are therefore chunked
-# at _F64_CHUNK rows with float64 inter-chunk accumulation on the VPU, which
-# keeps every reduction correctly rounded at any n.
-_F64_CHUNK = 4096
+# The TPU backend's emulated-f64 dot is exact up to ~16k contraction
+# length (measured: 1.3e-15 at 16384, 1e-11 at 32768, 8.6e-9 at 49152+).
+# Long f64 contractions are therefore chunked at _F64_CHUNK rows with
+# float64 inter-chunk accumulation on the VPU, which keeps every reduction
+# correctly rounded at any n.  See tests/test_tpu_precision.py.
+_F64_CHUNK = 16384
 
 
 def _needs_exact_f64_chunking(dtype) -> bool:
