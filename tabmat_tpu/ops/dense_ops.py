@@ -79,6 +79,14 @@ def _sandwich_f64_chunked(X: jax.Array, d: jax.Array) -> jax.Array:
     return S
 
 
+def _f64_mode() -> str:
+    """TPU f64 contraction strategy: 'ozaki' (exact, bf16 MXU), 'chunked'
+    (exact, emulated f64 dot in ≤16k chunks), or 'fast' (emulated, ~2e-8)."""
+    import os
+
+    return os.environ.get("TABMAT_TPU_F64_MODE", "ozaki")
+
+
 def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
     """Unrestricted sandwich ``X.T @ diag(d) @ X`` → (k, k)."""
     if _use_pallas_sandwich(X):
@@ -86,7 +94,13 @@ def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
 
         return dense_sandwich_f32(X, d)
     if _needs_exact_f64_chunking(X.dtype) and X.shape[0] > _F64_CHUNK:
-        return _sandwich_f64_chunked(X, d)
+        mode = _f64_mode()
+        if mode == "ozaki":
+            from . import ozaki
+
+            return ozaki.sandwich(X, d)
+        if mode == "chunked":
+            return _sandwich_f64_chunked(X, d)
     return _sandwich_jnp(X, d)
 
 
@@ -122,8 +136,12 @@ def _transpose_matvec_f64_chunked(X: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def transpose_matvec(X: jax.Array, v: jax.Array) -> jax.Array:
-    """``X.T @ v`` (v may be 1-d or 2-d); exact-f64 chunking on TPU."""
+    """``X.T @ v`` (v may be 1-d or 2-d); exact-f64 strategies on TPU."""
     if _needs_exact_f64_chunking(X.dtype) and X.shape[0] > _F64_CHUNK:
+        if v.ndim == 1 and _f64_mode() == "ozaki":
+            from . import ozaki
+
+            return ozaki.transpose_matvec(X, v)
         return _transpose_matvec_f64_chunked(X, v)
     return _transpose_matvec_jnp(X, v)
 

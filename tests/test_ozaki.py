@@ -1,0 +1,60 @@
+"""Ozaki exact-f64 bf16-MXU contraction tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tabmat_tpu.ops import ozaki
+
+
+@pytest.mark.parametrize("n,k", [(1000, 5), (20_000, 40), (4097, 1)])
+def test_sandwich_exact(n, k):
+    rng = np.random.default_rng(0)
+    X_np = rng.standard_normal((n, k)) * np.exp(rng.standard_normal((1, k)) * 3)
+    d_np = rng.random(n)
+    ref = (X_np * d_np[:, None]).T @ X_np
+    got = np.asarray(ozaki.sandwich(jnp.asarray(X_np), jnp.asarray(d_np)))
+    relerr = np.abs(got - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13, relerr
+
+
+def test_sandwich_dynamic_range():
+    rng = np.random.default_rng(1)
+    X_np = rng.standard_normal((5000, 4))
+    X_np[::100] *= 1e8
+    d_np = rng.random(5000)
+    ref = (X_np * d_np[:, None]).T @ X_np
+    got = np.asarray(ozaki.sandwich(jnp.asarray(X_np), jnp.asarray(d_np)))
+    relerr = np.abs(got - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13, relerr
+
+
+def test_sandwich_with_zero_columns():
+    rng = np.random.default_rng(2)
+    X_np = rng.standard_normal((300, 3))
+    X_np[:, 1] = 0.0
+    d_np = rng.random(300)
+    ref = (X_np * d_np[:, None]).T @ X_np
+    got = np.asarray(ozaki.sandwich(jnp.asarray(X_np), jnp.asarray(d_np)))
+    np.testing.assert_allclose(got, ref, atol=1e-13)
+
+
+def test_sandwich_negative_d():
+    rng = np.random.default_rng(3)
+    X_np = rng.standard_normal((2000, 6))
+    d_np = rng.standard_normal(2000)  # signed weights
+    ref = (X_np * d_np[:, None]).T @ X_np
+    got = np.asarray(ozaki.sandwich(jnp.asarray(X_np), jnp.asarray(d_np)))
+    relerr = np.abs(got - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13, relerr
+
+
+@pytest.mark.parametrize("n,k", [(1000, 5), (20_000, 40)])
+def test_transpose_matvec_exact(n, k):
+    rng = np.random.default_rng(4)
+    X_np = rng.standard_normal((n, k))
+    v_np = rng.standard_normal(n)
+    ref = X_np.T @ v_np
+    got = np.asarray(ozaki.transpose_matvec(jnp.asarray(X_np), jnp.asarray(v_np)))
+    relerr = np.abs(got - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13, relerr
