@@ -33,6 +33,7 @@ from .models import (  # noqa: F401,E402
 from .constructors import from_csc, from_df, from_pandas  # noqa: F401,E402
 from .formula import from_formula  # noqa: F401,E402
 from .ops.diag import DiagonalResult  # noqa: F401,E402
+from .glm import GeneralizedLinearRegressor, fit_glm  # noqa: F401,E402
 
 __version__ = "0.1.0"
 
@@ -50,4 +51,6 @@ __all__ = [
     "from_df",
     "as_tabmat",
     "hstack",
+    "GeneralizedLinearRegressor",
+    "fit_glm",
 ]

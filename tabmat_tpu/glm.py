@@ -155,3 +155,103 @@ def fit_glm(
         if delta < tol:
             return beta, it + 1
     return beta, max_iter
+
+
+class GeneralizedLinearRegressor:
+    """Minimal sklearn-style GLM estimator over tabmat-tpu matrices.
+
+    The TPU-native counterpart of the solver the reference library was
+    built to serve (glum; reference ``README.md:46``).  Accepts numpy/jax
+    arrays, any MatrixBase, a StandardizedMatrix, or a pandas DataFrame
+    (routed through ``from_df``).
+
+    Parameters
+    ----------
+    family: 'gaussian' | 'poisson' | 'logistic' | 'gamma'
+    l2: ridge penalty strength
+    fit_intercept: prepend a constant column
+    max_iter / tol / n_cg: IRLS and inner-CG controls
+    """
+
+    def __init__(
+        self,
+        family: str = "gaussian",
+        l2: float = 0.0,
+        fit_intercept: bool = True,
+        max_iter: int = 50,
+        tol: float = 1e-10,
+        n_cg: int = 20,
+    ):
+        if family not in FAMILIES:
+            raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
+        self.family = family
+        self.l2 = l2
+        self.fit_intercept = fit_intercept
+        self.max_iter = max_iter
+        self.tol = tol
+        self.n_cg = n_cg
+
+    def _design(self, X):
+        from .models.base import MatrixBase
+        from .models.dense import DenseMatrix
+        from .models.split import SplitMatrix, hstack
+        from .models.standardized import StandardizedMatrix
+
+        if not isinstance(X, (MatrixBase, StandardizedMatrix, jax.Array, np.ndarray)):
+            from .constructors import from_df
+
+            X = from_df(X)
+        if self.fit_intercept:
+            ones = np.ones((X.shape[0], 1))
+            if isinstance(X, (np.ndarray, jax.Array)):
+                X = hstack([ones, np.asarray(X)])
+            else:
+                X = hstack([ones, X])
+        return X
+
+    def fit(self, X, y, sample_weight=None):
+        """Fit by IRLS; stores ``coef_``, ``intercept_``, ``n_iter_``."""
+        design = self._design(X)
+        beta, n_iter = fit_glm(
+            design,
+            y,
+            sample_weight=sample_weight,
+            family=self.family,
+            max_iter=self.max_iter,
+            tol=self.tol,
+            n_cg=self.n_cg,
+            l2=self.l2,
+        )
+        beta = np.asarray(beta)
+        if self.fit_intercept:
+            self.intercept_ = float(beta[0])
+            self.coef_ = beta[1:]
+        else:
+            self.intercept_ = 0.0
+            self.coef_ = beta
+        self.n_iter_ = n_iter
+        return self
+
+    def linear_predictor(self, X):
+        """``X @ coef_ + intercept_`` (accepts the same X types as fit)."""
+        from .models.base import MatrixBase
+        from .models.standardized import StandardizedMatrix
+
+        if not isinstance(X, (MatrixBase, StandardizedMatrix, jax.Array, np.ndarray)):
+            from .constructors import from_df
+
+            X = from_df(X)
+        if isinstance(X, (np.ndarray, jax.Array)):
+            eta = np.asarray(X) @ self.coef_
+        else:
+            eta = np.asarray(X.matvec(self.coef_))
+        return eta + self.intercept_
+
+    def predict(self, X):
+        """Mean prediction on the response scale."""
+        eta = self.linear_predictor(X)
+        if self.family in ("poisson", "gamma"):
+            return np.exp(eta)
+        if self.family == "logistic":
+            return 1 / (1 + np.exp(-eta))
+        return eta

@@ -61,3 +61,51 @@ def test_accepts_dense_matrix():
 def test_unknown_family_raises():
     with pytest.raises(ValueError, match="Unknown family"):
         fit_glm(np.ones((4, 1)), np.ones(4), family="bogus")
+
+
+def test_estimator_gaussian_dataframe():
+    import pandas as pd
+
+    rng = np.random.default_rng(10)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "x1": rng.standard_normal(n),
+            "x2": rng.standard_normal(n),
+            "cat": pd.Categorical(rng.choice(["a", "b", "c"], n)),
+        }
+    )
+    X = tm.from_df(df, drop_first=True)
+    arr = X.toarray()
+    beta_true = np.array([1.0, -2.0, 0.5, -0.5])
+    y = 3.0 + arr @ beta_true + 0.01 * rng.standard_normal(n)
+
+    est = tm.GeneralizedLinearRegressor(family="gaussian", n_cg=40).fit(df if False else X, y)
+    np.testing.assert_allclose(est.intercept_, 3.0, atol=0.01)
+    np.testing.assert_allclose(est.coef_, beta_true, atol=0.01)
+    pred = est.predict(X)
+    np.testing.assert_allclose(pred, 3.0 + arr @ beta_true, atol=0.05)
+
+
+def test_estimator_accepts_dataframe_directly():
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame({"x": rng.standard_normal(n)})
+    y = 2.0 * df["x"].to_numpy() + 1.0
+    est = tm.GeneralizedLinearRegressor(family="gaussian", n_cg=30).fit(df, y)
+    np.testing.assert_allclose(est.coef_, [2.0], atol=1e-6)
+    np.testing.assert_allclose(est.intercept_, 1.0, atol=1e-6)
+
+
+def test_estimator_poisson_predict_scale():
+    rng = np.random.default_rng(12)
+    n = 3000
+    X = rng.standard_normal((n, 2)) * 0.3
+    beta_true = np.array([0.4, -0.2])
+    y = rng.poisson(np.exp(0.2 + X @ beta_true)).astype(float)
+    est = tm.GeneralizedLinearRegressor(family="poisson", n_cg=30).fit(X, y)
+    assert abs(est.intercept_ - 0.2) < 0.1
+    preds = est.predict(X)
+    assert np.all(preds > 0)
