@@ -136,9 +136,14 @@ def _transpose_matvec_f64_chunked(X: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def transpose_matvec(X: jax.Array, v: jax.Array) -> jax.Array:
-    """``X.T @ v`` (v may be 1-d or 2-d); exact-f64 strategies on TPU."""
+    """``X.T @ v`` (v may be 1-d or 2-d); exact-f64 strategies on TPU.
+
+    Chunked emulated-dot is the default here (measured faster than the
+    Ozaki path for the k-small tmv shape); set TABMAT_TPU_F64_MODE=ozaki_all
+    to route tmv through the bf16-MXU slices too.
+    """
     if _needs_exact_f64_chunking(X.dtype) and X.shape[0] > _F64_CHUNK:
-        if v.ndim == 1 and _f64_mode() == "ozaki":
+        if v.ndim == 1 and _f64_mode() == "ozaki_all":
             from . import ozaki
 
             return ozaki.transpose_matvec(X, v)
