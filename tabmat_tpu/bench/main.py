@@ -126,10 +126,20 @@ def run_one_benchmark_set(mat, name, ops, n_iterations, include_baseline, bench_
 @click.option("--standardized", is_flag=True)
 @click.option("--scale", default=1.0, type=float, help="row-count scale factor")
 @click.option("--output", default=None, help="CSV output path")
+@click.option(
+    "--profile_dir",
+    default=None,
+    help="capture a jax.profiler trace of the benchmark into this directory",
+)
 def run_all_benchmarks(
-    matrix_name, n_iterations, include_baseline, bench_memory, standardized, scale, output
+    matrix_name, n_iterations, include_baseline, bench_memory, standardized, scale,
+    output, profile_dir
 ):
     """Run the benchmark suite and print/save results."""
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     designs = get_all_benchmark_matrices(scale=scale)
     if matrix_name:
         wanted = matrix_name.split(",")
@@ -148,6 +158,12 @@ def run_all_benchmarks(
         all_rows.extend(rows)
         for r in rows:
             click.echo(json.dumps(r))
+
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        click.echo(f"profiler trace in {profile_dir}")
 
     if output:
         import csv

@@ -202,6 +202,14 @@ class CategoricalMatrix(MatrixBase):
 
     __array_ufunc__ = None
 
+    def __getstate__(self):
+        """Pickle only host state; device plans rebuild lazily on load."""
+        state = self.__dict__.copy()
+        state["_eff_codes_dev"] = None
+        state["_plan"] = None
+        state["_cross_plans"] = {}
+        return state
+
     # -- lazy device state -------------------------------------------------
 
     @property

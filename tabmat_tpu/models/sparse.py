@@ -110,6 +110,16 @@ class SparseMatrix(MatrixBase):
         self._dev_dense = None
         self._pair_plan = None  # (plan, ia, ib, row) for the pair sandwich
 
+    def __getstate__(self):
+        """Pickle only host state; device mirrors rebuild lazily on load."""
+        state = self.__dict__.copy()
+        state["_dev_csr"] = None
+        state["_dev_csc"] = None
+        state["_dev_dense"] = None
+        state["_pair_plan"] = None
+        state["_array_csr"] = None
+        return state
+
     # -- device mirrors --------------------------------------------------
 
     def _csr_parts(self):

@@ -46,9 +46,12 @@ def _slice_global(A: jax.Array):
     absmax = jnp.max(jnp.abs(A), axis=0, keepdims=True)
     e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
     exps = jnp.exp2(e)
-    r = A / exps
+    r = A * jnp.exp2(-e)  # exact (power-of-two scale)
     slices = []
     for p in range(S):
+        # NB: round-based extraction, NOT the classic (r+c)-c Veltkamp trick
+        # — under jit, XLA's algebraic simplifier folds (r+c)-c back to r,
+        # silently destroying the slice alignment (observed on this stack).
         q = jnp.round(r * jnp.float64(1 << ((p + 1) * T)))
         slices.append(q.astype(jnp.bfloat16))
         r = r - q * (0.5 ** ((p + 1) * T))

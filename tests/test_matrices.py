@@ -360,3 +360,30 @@ def test_jax_flavor_transpose_matvec(mat):
     res = mat.transpose_matvec(jnp.asarray(v))
     assert isinstance(res, jax.Array)
     np.testing.assert_allclose(np.asarray(res), arr.T @ v, atol=1e-12)
+
+
+def test_jax_flavor_sandwich(mat):
+    """jax d → device-resident sandwich result matching the oracle."""
+    import jax.numpy as jnp
+
+    arr = mat.toarray()
+    d = RNG.random(mat.shape[0])
+    res = mat.sandwich(jnp.asarray(d))
+    np.testing.assert_allclose(
+        _result_to_np(res), (arr * d[:, None]).T @ arr, atol=1e-12
+    )
+
+
+def test_standardize_scale_only(mat):
+    if isinstance(mat, tm.StandardizedMatrix):
+        pytest.skip("standardize is defined on MatrixBase")
+    w = RNG.random(mat.shape[0])
+    w /= w.sum()
+    std, means, stds = mat.standardize(w, False, True)
+    np.testing.assert_allclose(means, 0)
+    assert stds is not None
+    arr = mat.toarray()
+    exp_means = arr.T @ w
+    exp_stds = np.sqrt((w[:, None] * (arr - exp_means) ** 2).sum(0))
+    mult = np.where(np.abs(exp_stds) < 1e-7, 1.0, 1 / np.where(exp_stds == 0, 1, exp_stds))
+    np.testing.assert_allclose(std.toarray(), arr * mult, atol=1e-12)
