@@ -52,6 +52,7 @@ class DenseMatrix(MatrixBase):
             raise ValueError("Input array must be 1- or 2-dimensional")
 
         self._array = arr
+        self._ozaki_cache = None  # lazily-built X-side slice cache (TPU f64)
         width = arr.shape[1]
 
         if column_names is not None:
@@ -193,11 +194,41 @@ class DenseMatrix(MatrixBase):
             d,
             None if mask is None else jnp.asarray(mask),
             cols_np,
+            ozaki_cache=self._get_ozaki_cache() if cols_np is None else None,
         )
         if is_jax_array(d_in):
             return S[:k, :k] if S.shape[0] != k else S
         out = np.asarray(S)
         return out[:k, :k] if out.shape[0] != k else out
+
+    # X-side Ozaki slices are structural: build once, reuse every sandwich.
+    # Budget: 7 bf16 slices ≈ 0.9× the f64 matrix itself in HBM.
+    _OZAKI_CACHE_MAX_ELEMENTS = 1 << 26
+
+    def _get_ozaki_cache(self):
+        from .._config import on_tpu
+        from ..ops.dense_ops import _F64_CHUNK, _f64_mode
+
+        n, k = self.shape
+        if (
+            self.dtype != np.float64
+            or not on_tpu()
+            or n <= _F64_CHUNK
+            or n * k > self._OZAKI_CACHE_MAX_ELEMENTS
+            or _f64_mode() != "ozaki"
+        ):
+            return None
+        if self._ozaki_cache is None:
+            from ..ops import ozaki
+
+            self._ozaki_cache = ozaki.slice_matrix(self._array)
+        return self._ozaki_cache
+
+    def __getstate__(self):
+        """Pickle without the rebuildable slice cache."""
+        state = self.__dict__.copy()
+        state["_ozaki_cache"] = None
+        return state
 
     def _cross_sandwich(
         self,

@@ -87,7 +87,7 @@ def _f64_mode() -> str:
     return os.environ.get("TABMAT_TPU_F64_MODE", "ozaki")
 
 
-def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
+def sandwich(X: jax.Array, d: jax.Array, ozaki_cache=None) -> jax.Array:
     """Unrestricted sandwich ``X.T @ diag(d) @ X`` → (k, k)."""
     if _use_pallas_sandwich(X):
         from .pallas_kernels import dense_sandwich_f32
@@ -98,6 +98,8 @@ def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
         if mode == "ozaki":
             from . import ozaki
 
+            if ozaki_cache is not None:
+                return ozaki.sandwich_cached(X, d, ozaki_cache)
             return ozaki.sandwich(X, d)
         if mode == "chunked":
             return _sandwich_f64_chunked(X, d)
@@ -222,6 +224,7 @@ def sandwich_restricted(
     row_mask: Optional[jax.Array],
     cols: Optional[np.ndarray],
     bucket: bool = True,
+    ozaki_cache=None,
 ) -> tuple[jax.Array, int]:
     """Sandwich with active-set restriction.
 
@@ -230,7 +233,7 @@ def sandwich_restricted(
     """
     dm = apply_mask(d, row_mask) if row_mask is not None else d
     if cols is None:
-        S = sandwich(X, dm)
+        S = sandwich(X, dm, ozaki_cache=ozaki_cache)
         return S, S.shape[0]
     padded, colmask, k = pad_cols(np.asarray(cols), bucket)
     Xs = gather_cols(X, jnp.asarray(padded))

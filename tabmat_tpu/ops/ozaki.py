@@ -58,19 +58,28 @@ def _slice_global(A: jax.Array):
     return jnp.stack(slices), exps[0]
 
 
-@jax.jit
-def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
-    """Exact ``X.T @ diag(d) @ X`` via error-free bf16 slice products."""
-    n, k = X.shape
+def _pad_reshape(Q: jax.Array, n: int):
     nc = -(-n // CHUNK)
     n_pad = nc * CHUNK
+    shape = (S, nc, CHUNK) + tuple(Q.shape[2:])
+    pad = [(0, 0), (0, n_pad - n)] + [(0, 0)] * (Q.ndim - 2)
+    return jnp.pad(Q, pad).reshape(shape)
 
-    A = X * d[:, None]
-    QA, eA = _slice_global(A)
-    QB, eB = _slice_global(X)
-    QA = jnp.pad(QA, ((0, 0), (0, n_pad - n), (0, 0))).reshape(S, nc, CHUNK, k)
-    QB = jnp.pad(QB, ((0, 0), (0, n_pad - n), (0, 0))).reshape(S, nc, CHUNK, k)
 
+def slice_matrix(X: jax.Array):
+    """Precompute (and shape for chunked matmuls) the slices of a matrix.
+
+    Returned (QX (S, nc, CHUNK, k) bf16, eX (k,) f64) can be cached by the
+    owning matrix: the X-side of every sandwich is structural, so only the
+    d-scaled side needs re-slicing per call.
+    """
+    QX, eX = _slice_global(X)
+    return _pad_reshape(QX, X.shape[0]), eX
+
+
+@jax.jit
+def _sandwich_pairs(QA, eA, QB, eB) -> jax.Array:
+    k = QA.shape[-1]
     out = jnp.zeros((k, k), dtype=jnp.float64)
     for p in range(S):
         for q in range(S):
@@ -84,6 +93,27 @@ def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
             total = jnp.sum(part, axis=0, dtype=jnp.float64)
             out = out + total * (0.5 ** ((p + q + 2) * T))
     return out * (eA[:, None] * eB[None, :])
+
+
+@jax.jit
+def _slice_scaled(X: jax.Array, d: jax.Array):
+    QA, eA = _slice_global(X * d[:, None])
+    return _pad_reshape(QA, X.shape[0]), eA
+
+
+@jax.jit
+def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
+    """Exact ``X.T @ diag(d) @ X`` via error-free bf16 slice products."""
+    QA, eA = _slice_scaled(X, d)
+    QB, eB = slice_matrix(X)
+    return _sandwich_pairs(QA, eA, QB, eB)
+
+
+def sandwich_cached(X: jax.Array, d: jax.Array, cache) -> jax.Array:
+    """Sandwich reusing precomputed X-side slices (see ``slice_matrix``)."""
+    QB, eB = cache
+    QA, eA = _slice_scaled(X, d)
+    return _sandwich_pairs(QA, eA, QB, eB)
 
 
 @jax.jit
