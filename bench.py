@@ -151,23 +151,26 @@ def main():
     w_dev = jnp.ones(n, dtype=jnp.float64)
     beta_ring = ring(lambda: rng.standard_normal(k) * 0.01)
 
+    X32_np = X_np.astype(np.float32)
+
     def glm_step_np(beta):
-        # identical algorithm in numpy (8 CG iterations, gaussian family)
+        # identical algorithm in numpy: f64 gradient, f32 inner CG
+        # (mirrors irls_step's default inner_precision='float32')
         resid = y_np - X_np @ beta
-        g = X_np.T @ resid
+        g = (X_np.T @ resid).astype(np.float32)
         x = np.zeros_like(g)
         r = g.copy()
         p = r.copy()
         rs = r @ r
         for _ in range(8):
-            Ap = X_np.T @ (X_np @ p)
-            alpha = rs / max(p @ Ap, 1e-300)
+            Ap = X32_np.T @ (X32_np @ p)
+            alpha = rs / max(p @ Ap, np.float32(1e-30))
             x += alpha * p
             r -= alpha * Ap
             rs_new = r @ r
-            p = r + (rs_new / max(rs, 1e-300)) * p
+            p = r + (rs_new / max(rs, np.float32(1e-30))) * p
             rs = rs_new
-        return beta + x
+        return beta + x.astype(np.float64)
 
     results["glm_irls_step"] = (
         _timeit_ring(

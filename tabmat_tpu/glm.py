@@ -51,15 +51,16 @@ def _family_terms(family: str, eta: jax.Array, y: jax.Array):
 
 def _cg_solve(matvec: Callable, b: jax.Array, n_iter: int) -> jax.Array:
     """Fixed-iteration conjugate gradient (jittable, lax.fori_loop)."""
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
 
     def body(_, state):
         x, r, p, rs = state
         Ap = matvec(p)
-        alpha = rs / jnp.maximum(jnp.vdot(p, Ap), 1e-300)
+        alpha = rs / jnp.maximum(jnp.vdot(p, Ap), tiny)
         x = x + alpha * p
         r = r - alpha * Ap
         rs_new = jnp.vdot(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-300)
+        beta = rs_new / jnp.maximum(rs, tiny)
         p = r + beta * p
         return (x, r, p, rs_new)
 
@@ -69,7 +70,7 @@ def _cg_solve(matvec: Callable, b: jax.Array, n_iter: int) -> jax.Array:
     return x
 
 
-@partial(jax.jit, static_argnames=("family", "n_cg", "l2"))
+@partial(jax.jit, static_argnames=("family", "n_cg", "l2", "inner_precision"))
 def irls_step(
     X: jax.Array,
     y: jax.Array,
@@ -78,14 +79,20 @@ def irls_step(
     family: str = "gaussian",
     n_cg: int = 16,
     l2: float = 0.0,
+    inner_precision: str = "float32",
 ) -> jax.Array:
     """One IRLS Newton step with a matrix-free CG inner solve.
 
     The Hessian-vector product is two sandwich-structured matvecs —
     ``Hv = Xᵀ (w ⊙ (X v)) + l2·v`` — which XLA maps onto the MXU and, under
-    a row-sharded mesh, reduces with a single psum per matvec.  For plain
-    dense arrays the long (row) contraction goes through the exact-f64
-    chunked kernel on TPU (see ``ops.dense_ops``).
+    a row-sharded mesh, reduces with a single psum per matvec.
+
+    The linear predictor and gradient are evaluated in the operand dtype
+    (exact f64 via the chunked/Ozaki kernels on TPU); by default the *inner*
+    CG iteration runs in float32 — an inexact-Newton direction, which IRLS
+    absorbs (same fixed point, occasionally one extra outer iteration) while
+    turning 2·n_cg emulated-f64 matvecs into native-speed f32 ones.  Pass
+    ``inner_precision='float64'`` for a fully f64 step.
     """
     from .ops import dense_ops
 
@@ -100,6 +107,21 @@ def irls_step(
     mu, w_irls, resid = _family_terms(family, eta, y)
     w = sample_weight * w_irls
     grad = tmv(sample_weight * resid) - l2 * beta
+
+    use_f32_inner = (
+        inner_precision == "float32"
+        and isinstance(X, jax.Array)
+        and X.dtype == jnp.float64
+    )
+    if use_f32_inner:
+        X32 = X.astype(jnp.float32)
+        w32 = w.astype(jnp.float32)
+
+        def hvp(v):
+            return X32.T @ (w32 * (X32 @ v)) + jnp.float32(l2) * v
+
+        delta = _cg_solve(hvp, grad.astype(jnp.float32), n_cg)
+        return beta + delta.astype(beta.dtype)
 
     def hvp(v):
         return tmv(w * mv(v)) + l2 * v
@@ -117,6 +139,7 @@ def fit_glm(
     tol: float = 1e-10,
     n_cg: int = 16,
     l2: float = 0.0,
+    inner_precision: str = "float32",
 ):
     """Fit a GLM by IRLS; accepts numpy/jax arrays or a tabmat DenseMatrix.
 
@@ -148,7 +171,8 @@ def fit_glm(
     beta = jnp.zeros(X.shape[1], dtype=X.dtype)
     for it in range(max_iter):
         new_beta = irls_step(
-            X, y, sample_weight, beta, family=family, n_cg=n_cg, l2=l2
+            X, y, sample_weight, beta, family=family, n_cg=n_cg, l2=l2,
+            inner_precision=inner_precision,
         )
         delta = float(jnp.max(jnp.abs(new_beta - beta)))
         beta = new_beta
@@ -181,6 +205,7 @@ class GeneralizedLinearRegressor:
         max_iter: int = 50,
         tol: float = 1e-10,
         n_cg: int = 20,
+        inner_precision: str = "float32",
     ):
         if family not in FAMILIES:
             raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
@@ -190,6 +215,7 @@ class GeneralizedLinearRegressor:
         self.max_iter = max_iter
         self.tol = tol
         self.n_cg = n_cg
+        self.inner_precision = inner_precision
 
     def _design(self, X):
         from .models.base import MatrixBase
@@ -221,6 +247,7 @@ class GeneralizedLinearRegressor:
             tol=self.tol,
             n_cg=self.n_cg,
             l2=self.l2,
+            inner_precision=self.inner_precision,
         )
         beta = np.asarray(beta)
         if self.fit_intercept:
