@@ -274,7 +274,13 @@ class DenseMatrix(MatrixBase):
                 mask = rows_to_mask(np.asarray(rows), n, vec.dtype)
                 m = jnp.asarray(mask)
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
-            res_full = dense_ops.transpose_matvec(self._array, v_eff)
+            cache = self._get_ozaki_cache() if v_eff.ndim == 1 else None
+            if cache is not None:
+                from ..ops import ozaki
+
+                res_full = ozaki.transpose_matvec_cached(cache[0], cache[1], v_eff)
+            else:
+                res_full = dense_ops.transpose_matvec(self._array, v_eff)
             if unrestricted_cols:
                 res = res_full
                 if out is None:
@@ -301,7 +307,15 @@ class DenseMatrix(MatrixBase):
                     cols_to_mask(np.asarray(cols), k, np.dtype(vec.dtype))
                 )
                 v_eff = vec * (cmask if vec.ndim == 1 else cmask[:, None])
-            res = dense_ops.matvec(self._array, v_eff)
+            cache = (
+                self._get_ozaki_cache() if v_eff.ndim == 1 and k <= 256 else None
+            )
+            if cache is not None:
+                from ..ops import ozaki
+
+                res = ozaki.matvec_cached(cache[0], cache[1], v_eff)[:n]
+            else:
+                res = dense_ops.matvec(self._array, v_eff)
             if out is None:
                 return result_like(vec_in, res)
             return add_into_out(out, res)

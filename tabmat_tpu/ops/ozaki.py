@@ -116,6 +116,62 @@ def sandwich_cached(X: jax.Array, d: jax.Array, cache) -> jax.Array:
     return _sandwich_pairs(QA, eA, QB, eB)
 
 
+def _slice_vector(v: jax.Array):
+    """Slice a vector with ONE global block exponent (shared across
+    elements, required because the vector axis is the contraction axis)."""
+    absmax = jnp.max(jnp.abs(v))
+    e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
+    exp = jnp.exp2(e)
+    r = v * jnp.exp2(-e)
+    slices = []
+    for p in range(S):
+        q = jnp.round(r * jnp.float64(1 << ((p + 1) * T)))
+        slices.append(q.astype(jnp.bfloat16))
+        r = r - q * (0.5 ** ((p + 1) * T))
+    return jnp.stack(slices), exp
+
+
+@jax.jit
+def matvec_cached(QX: jax.Array, eX: jax.Array, v: jax.Array) -> jax.Array:
+    """Exact ``X @ v`` from cached X slices.
+
+    Contraction is over columns (k ≤ 256 keeps the f32 accumulation exact),
+    so per-chunk reshaping is unnecessary — each pair is one bf16 matvec.
+    """
+    S_, nc, c, k = QX.shape
+    Qv, ev = _slice_vector(eX * v)
+    out = jnp.zeros((nc, c), dtype=jnp.float64)
+    for p in range(S):
+        for q in range(S):
+            if p + q > MAX_LEVEL:
+                continue
+            part = jnp.einsum(
+                "ncj,j->nc", QX[p], Qv[q], preferred_element_type=jnp.float32
+            )
+            out = out + part.astype(jnp.float64) * (0.5 ** ((p + q + 2) * T))
+    return (out * ev).reshape(nc * c)
+
+
+@jax.jit
+def transpose_matvec_cached(QX: jax.Array, eX: jax.Array, r: jax.Array) -> jax.Array:
+    """Exact ``X.T @ r`` from cached X slices (row contraction, chunked)."""
+    S_, nc, c, k = QX.shape
+    n = r.shape[0]
+    Qr, er = _slice_vector(r)
+    Qr = jnp.pad(Qr, ((0, 0), (0, nc * c - n))).reshape(S, nc, c)
+    out = jnp.zeros((k,), dtype=jnp.float64)
+    for p in range(S):
+        for q in range(S):
+            if p + q > MAX_LEVEL:
+                continue
+            part = jnp.einsum(
+                "ncj,nc->nj", QX[p], Qr[q], preferred_element_type=jnp.float32
+            )
+            total = jnp.sum(part, axis=0, dtype=jnp.float64)
+            out = out + total * (0.5 ** ((p + q + 2) * T))
+    return out * (eX * er)
+
+
 @jax.jit
 def transpose_matvec(X: jax.Array, v: jax.Array) -> jax.Array:
     """Exact ``X.T @ v`` via error-free bf16 slice products."""

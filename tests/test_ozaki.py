@@ -58,3 +58,26 @@ def test_transpose_matvec_exact(n, k):
     got = np.asarray(ozaki.transpose_matvec(jnp.asarray(X_np), jnp.asarray(v_np)))
     relerr = np.abs(got - ref).max() / np.abs(ref).max()
     assert relerr < 1e-13, relerr
+
+
+def test_cached_matvec_tmv():
+    from tabmat_tpu.ops.ozaki import (
+        matvec_cached,
+        slice_matrix,
+        transpose_matvec_cached,
+    )
+
+    rng = np.random.default_rng(5)
+    n, k = 5000, 30
+    X_np = rng.standard_normal((n, k)) * np.exp(rng.standard_normal((1, k)) * 2)
+    cache = slice_matrix(jnp.asarray(X_np))
+    v_np = rng.standard_normal(k) * np.exp(rng.standard_normal(k))
+    r_np = rng.standard_normal(n)
+
+    mv = np.asarray(matvec_cached(cache[0], cache[1], jnp.asarray(v_np)))[:n]
+    ref = X_np @ v_np
+    assert np.abs(mv - ref).max() / np.abs(ref).max() < 1e-13
+
+    tmv = np.asarray(transpose_matvec_cached(cache[0], cache[1], jnp.asarray(r_np)))
+    ref = X_np.T @ r_np
+    assert np.abs(tmv - ref).max() / np.abs(ref).max() < 1e-13
