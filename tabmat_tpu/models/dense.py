@@ -307,15 +307,10 @@ class DenseMatrix(MatrixBase):
                     cols_to_mask(np.asarray(cols), k, np.dtype(vec.dtype))
                 )
                 v_eff = vec * (cmask if vec.ndim == 1 else cmask[:, None])
-            cache = (
-                self._get_ozaki_cache() if v_eff.ndim == 1 and k <= 256 else None
-            )
-            if cache is not None:
-                from ..ops import ozaki
-
-                res = ozaki.matvec_cached(cache[0], cache[1], v_eff)[:n]
-            else:
-                res = dense_ops.matvec(self._array, v_eff)
+            # (matvec stays on the emulated-dot path: the k-contraction is
+            # short enough to be exact, and the cached-slice formulation
+            # measured slower — per-chunk matvecs underutilize the MXU)
+            res = dense_ops.matvec(self._array, v_eff)
             if out is None:
                 return result_like(vec_in, res)
             return add_into_out(out, res)
