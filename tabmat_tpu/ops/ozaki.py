@@ -136,20 +136,34 @@ def matvec_cached(QX: jax.Array, eX: jax.Array, v: jax.Array) -> jax.Array:
     """Exact ``X @ v`` from cached X slices.
 
     Contraction is over columns (k ≤ 256 keeps the f32 accumulation exact),
-    so per-chunk reshaping is unnecessary — each pair is one bf16 matvec.
+    so chunking is unnecessary: the slice pairs sharing a level L = p+q can
+    be stacked and contracted in ONE bf16 matmul — (n, (L+1)·k) × ((L+1)·k,)
+    — cutting 21 small matvecs to 6 well-shaped ones.  Level-stacked sums
+    stay exact while (L+1)·k ≤ 2^8·k ≤ 2^24 / 2^16.
     """
     S_, nc, c, k = QX.shape
+    n_pad = nc * c
+    Qflat = QX.reshape(S, n_pad, k)
     Qv, ev = _slice_vector(eX * v)
-    out = jnp.zeros((nc, c), dtype=jnp.float64)
-    for p in range(S):
-        for q in range(S):
-            if p + q > MAX_LEVEL:
-                continue
+    out = jnp.zeros((n_pad,), dtype=jnp.float64)
+    for L in range(MAX_LEVEL + 1):
+        pairs = [(p, L - p) for p in range(S) if 0 <= L - p < S]
+        scale = 0.5 ** ((L + 2) * T)
+        if len(pairs) * k <= 256:
+            # stacked contraction stays within the exact f32 budget
+            lhs = jnp.concatenate([Qflat[p] for p, _ in pairs], axis=1)
+            rhs = jnp.concatenate([Qv[q] for _, q in pairs])
             part = jnp.einsum(
-                "ncj,j->nc", QX[p], Qv[q], preferred_element_type=jnp.float32
+                "nj,j->n", lhs, rhs, preferred_element_type=jnp.float32
             )
-            out = out + part.astype(jnp.float64) * (0.5 ** ((p + q + 2) * T))
-    return (out * ev).reshape(nc * c)
+            out = out + part.astype(jnp.float64) * scale
+        else:
+            for p, q in pairs:
+                part = jnp.einsum(
+                    "nj,j->n", Qflat[p], Qv[q], preferred_element_type=jnp.float32
+                )
+                out = out + part.astype(jnp.float64) * scale
+    return out * ev
 
 
 @jax.jit
