@@ -418,6 +418,23 @@ class FormulaModelSpec:
         )
 
 
+def materialize_response(formula: str, data, context=None) -> np.ndarray:
+    """Evaluate the left-hand side of ``lhs ~ rhs`` as a response vector."""
+    from .parser import parse_formula
+
+    lhs_terms, _, _ = parse_formula(formula)
+    if not lhs_terms:
+        raise ValueError(f"Formula {formula!r} has no left-hand side.")
+    if len(lhs_terms) != 1 or lhs_terms[0].degree != 1:
+        raise ValueError("The response must be a single term, e.g. 'y ~ ...'.")
+    df = nw.from_native(data, eager_only=True)
+    evaluator = _Evaluator(df, context, {}, use_state=False)
+    slot = evaluator.eval_factor(lhs_terms[0].factors[0], "fail", "(MISSING)")
+    if not isinstance(slot, NumericSlot):
+        raise ValueError("The response must evaluate to a numeric vector.")
+    return slot.values
+
+
 def materialize_formula(
     formula: str,
     data,

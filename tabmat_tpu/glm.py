@@ -206,6 +206,7 @@ class GeneralizedLinearRegressor:
         tol: float = 1e-10,
         n_cg: int = 20,
         inner_precision: str = "float32",
+        formula: str = None,
     ):
         if family not in FAMILIES:
             raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
@@ -216,6 +217,8 @@ class GeneralizedLinearRegressor:
         self.tol = tol
         self.n_cg = n_cg
         self.inner_precision = inner_precision
+        self.formula = formula
+        self._formula_spec = None
 
     def _design(self, X):
         from .models.base import MatrixBase
@@ -235,8 +238,51 @@ class GeneralizedLinearRegressor:
                 X = hstack([ones, X])
         return X
 
-    def fit(self, X, y, sample_weight=None):
-        """Fit by IRLS; stores ``coef_``, ``intercept_``, ``n_iter_``."""
+    def fit(self, X, y=None, sample_weight=None):
+        """Fit by IRLS; stores ``coef_``, ``intercept_``, ``n_iter_``.
+
+        With ``formula='y ~ ...'`` set, pass the dataframe as ``X`` and the
+        response is evaluated from the formula's left-hand side.
+        """
+        if self.formula is not None:
+            from .formula import from_formula
+            from .formula.engine import materialize_response
+
+            if y is None:
+                y = materialize_response(self.formula, X)
+            design_mat = from_formula(
+                self.formula,
+                X,
+                include_intercept=self.fit_intercept,
+                # estimators need an identifiable design: drop reference
+                # levels of categoricals spanned by the intercept
+                ensure_full_rank=True,
+            )
+            self._formula_spec = design_mat.model_spec
+            beta, n_iter = fit_glm(
+                design_mat,
+                y,
+                sample_weight=sample_weight,
+                family=self.family,
+                max_iter=self.max_iter,
+                tol=self.tol,
+                n_cg=self.n_cg,
+                l2=self.l2,
+                inner_precision=self.inner_precision,
+            )
+            beta = np.asarray(beta)
+            names = design_mat.column_names
+            if self.fit_intercept and names and names[0] == "Intercept":
+                self.intercept_ = float(beta[0])
+                self.coef_ = beta[1:]
+                self.feature_names_ = names[1:]
+            else:
+                self.intercept_ = 0.0
+                self.coef_ = beta
+                self.feature_names_ = names
+            self.n_iter_ = n_iter
+            return self
+
         design = self._design(X)
         beta, n_iter = fit_glm(
             design,
@@ -263,6 +309,19 @@ class GeneralizedLinearRegressor:
         """``X @ coef_ + intercept_`` (accepts the same X types as fit)."""
         from .models.base import MatrixBase
         from .models.standardized import StandardizedMatrix
+
+        if self._formula_spec is not None and not isinstance(
+            X, (MatrixBase, StandardizedMatrix, jax.Array, np.ndarray)
+        ):
+            # stateful re-materialization with the training category levels
+            Xm = self._formula_spec.get_model_matrix(X)
+            names = Xm.column_names
+            beta_full = (
+                np.concatenate([[self.intercept_], self.coef_])
+                if names and names[0] == "Intercept"
+                else self.coef_
+            )
+            return np.asarray(Xm.matvec(beta_full))
 
         if not isinstance(X, (MatrixBase, StandardizedMatrix, jax.Array, np.ndarray)):
             from .constructors import from_df
