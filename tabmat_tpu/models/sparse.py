@@ -45,15 +45,23 @@ PAIR_SANDWICH_MAX_PAIRS = 50_000_000
 PAIR_SANDWICH_MAX_SEGMENTS = 1 << 26
 
 
-@jax.jit
-def _pair_values(csr_data, ia, ib, row, dm):
-    """Pair products for the pair-expansion sandwich (pure gathers)."""
-    return jnp.take(csr_data, ia) * jnp.take(csr_data, ib) * jnp.take(dm, row)
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _pair_sandwich_jit(csr_data, ia, ib, row, dm, perm, bounds, k):
+    """Pair-expansion sandwich in ONE dispatch: gathers, cumsum, reshape."""
+    vals = jnp.take(csr_data, ia) * jnp.take(csr_data, ib) * jnp.take(dm, row)
+    gathered = jnp.take(vals, perm)
+    csum = jnp.cumsum(gathered)
+    padded = jnp.concatenate([jnp.zeros((1,), dtype=csum.dtype), csum])
+    flat = jnp.take(padded, bounds[1:]) - jnp.take(padded, bounds[:-1])
+    return flat.reshape(k, k)
 
 
 def _pair_sandwich_op(csr_data, ia, ib, row, dm, plan, k):
-    """Device half of the pair-expansion sandwich: gathers + one segment sum."""
-    return plan.sum(_pair_values(csr_data, ia, ib, row, dm)).reshape(k, k)
+    """Device half of the pair-expansion sandwich."""
+    return _pair_sandwich_jit(csr_data, ia, ib, row, dm, plan.perm, plan.bounds, k)
 
 
 class SparseMatrix(MatrixBase):
