@@ -180,6 +180,81 @@ def main():
         _timeit_host(lambda: glm_step_np(np.asarray(beta_ring[0])), 3),
     )
 
+    # ------- end-to-end GLM IRLS step on a mixed split design -------
+    # (1M x (5 dense + 1k cat + 1k cat): the dense_cat benchmark shape as a
+    # training step — the production access pattern, one XLA dispatch)
+    import tabmat_tpu.parallel as tp
+    from scipy import sparse as sps2
+
+    kd, kc1, kc2 = 5, 1000, 1000
+    split = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, kd))),
+            tm.CategoricalMatrix(
+                rng.integers(0, kc1, n).astype(np.int32), categories=np.arange(kc1)
+            ),
+            tm.CategoricalMatrix(
+                rng.integers(0, kc2, n).astype(np.int32), categories=np.arange(kc2)
+            ),
+        ]
+    )
+    from tabmat_tpu.parallel.design import DeviceDesign
+
+    design = DeviceDesign.from_matrix(split)
+    km = split.shape[1]
+    y2 = jnp.asarray(rng.poisson(1.0, n).astype(np.float64))
+    w2 = jnp.ones(n, dtype=jnp.float64)
+    beta2_ring = ring(lambda: rng.standard_normal(km) * 0.001)
+
+    # CPU equivalent: same algorithm over a scipy CSR of the same design
+    X_csr32 = sps2.csr_matrix(
+        sps2.hstack(
+            [sps2.csr_matrix(np.asarray(design.blocks[0].arrays["X"]))]
+            + [
+                sps2.csr_matrix(
+                    (
+                        np.ones(n),
+                        np.asarray(b.arrays["codes"]),
+                        np.arange(n + 1),
+                    ),
+                    shape=(n, b.width),
+                )
+                for b in design.blocks[1:]
+            ]
+        ),
+        dtype=np.float32,
+    )
+    X_csr64 = X_csr32.astype(np.float64)
+    y2_np = np.asarray(y2)
+
+    def split_step_np(beta):
+        # f64 throughout — the DeviceDesign path is exact f64 end to end
+        eta = X_csr64 @ beta
+        mu = np.exp(eta)
+        resid = y2_np - mu
+        g = X_csr64.T @ resid
+        x = np.zeros_like(g)
+        r = g.copy()
+        p = r.copy()
+        rs = r @ r
+        for _ in range(8):
+            Ap = X_csr64.T @ (mu * (X_csr64 @ p))
+            alpha = rs / max(p @ Ap, 1e-300)
+            x += alpha * p
+            r -= alpha * Ap
+            rs_new = r @ r
+            p = r + (rs_new / max(rs, 1e-300)) * p
+            rs = rs_new
+        return beta + x
+
+    results["glm_irls_step_mixed"] = (
+        _timeit_ring(
+            lambda b: irls_step(design, y2, w2, b, family="poisson", n_cg=8),
+            beta2_ring,
+        ),
+        _timeit_host(lambda: split_step_np(np.asarray(beta2_ring[0])), 3),
+    )
+
     ours = np.array([v[0] for v in results.values()])
     base = np.array([v[1] for v in results.values()])
     geo_ms = float(np.exp(np.mean(np.log(ours))) * 1e3)

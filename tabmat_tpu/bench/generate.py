@@ -6,8 +6,6 @@ dense 4M×10, sparse 400k×100 (1% density), sparse_narrow 3M×3, sparse_wide
 dense_smallcat 3M×(5+10+1k).
 """
 
-from typing import Optional
-
 import numpy as np
 from scipy import sparse as sps
 

@@ -10,7 +10,6 @@ Example::
 """
 
 import json
-import os
 import time
 
 import click

@@ -9,7 +9,7 @@ device mirrors are built lazily on first use.
 """
 
 import warnings
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 from scipy import sparse as sps

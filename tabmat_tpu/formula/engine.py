@@ -42,7 +42,7 @@ from ..models.dense import DenseMatrix
 from ..models.sparse import SparseMatrix
 from ..models.split import SplitMatrix
 from ..constructors import _split_sparse_and_dense_parts
-from .parser import Term, parse_formula
+from .parser import parse_formula
 
 
 # ----------------------------------------------------------------------

@@ -223,7 +223,7 @@ class GeneralizedLinearRegressor:
     def _design(self, X):
         from .models.base import MatrixBase
         from .models.dense import DenseMatrix
-        from .models.split import SplitMatrix, hstack
+        from .models.split import hstack
         from .models.standardized import StandardizedMatrix
 
         if not isinstance(X, (MatrixBase, StandardizedMatrix, jax.Array, np.ndarray)):

@@ -19,7 +19,7 @@ dense blocks become segment-summed row reductions (see ``SplitMatrix``).
 
 import re
 import warnings
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ numpy layout is accepted without copies or warnings.
 """
 
 import textwrap
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

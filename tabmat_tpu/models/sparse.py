@@ -13,7 +13,7 @@ once and runs the boundary-segmented cumsum kernels in
 - cross vs dense       → gather rows of ``d·B`` + column-bounded segment sum
 """
 
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

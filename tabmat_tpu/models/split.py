@@ -17,7 +17,7 @@ numpy searchsorted on the host (column counts are small).
 
 import warnings
 from collections.abc import Sequence
-from typing import Optional, Union
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +25,6 @@ from scipy import sparse as sps
 
 from ..ops.diag import DiagonalResult
 from ..utils import (
-    add_into_out,
     check_matvec_dimensions,
     check_matvec_out_shape,
     check_sandwich_compatible,
@@ -34,7 +33,6 @@ from ..utils import (
     set_up_rows_or_cols,
 )
 from .base import MatrixBase
-from .categorical import CategoricalMatrix
 from .dense import DenseMatrix
 from .sparse import SparseMatrix
 from .standardized import StandardizedMatrix

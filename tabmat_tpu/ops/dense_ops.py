@@ -18,7 +18,6 @@ A fused float32 Pallas sandwich lives in ``tabmat_tpu.ops.pallas_kernels``
 and is selected automatically on TPU for f32 inputs.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -22,11 +22,8 @@ Terms kept: slice pairs with ``p + q ≤ MAX_LEVEL`` cover ≥ 56 bits of the
 product mantissa — beyond f64 itself.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 T = 8  # bits per slice (bf16 mantissa)
 S = 7  # slices: 7*8 = 56 ≥ 53 mantissa bits

@@ -18,7 +18,6 @@ argsort happens once at construction and is cached on the owning matrix.
 """
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ Block math (scatter-free, sharding-friendly — rows may shard over 'dp'):
 - standardized: inner ops + rank-1 shift/mult corrections
 """
 
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
