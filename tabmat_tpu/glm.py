@@ -108,17 +108,24 @@ def irls_step(
     w = sample_weight * w_irls
     grad = tmv(sample_weight * resid) - l2 * beta
 
-    use_f32_inner = (
-        inner_precision == "float32"
-        and isinstance(X, jax.Array)
-        and X.dtype == jnp.float64
-    )
-    if use_f32_inner:
+    use_f32_inner = inner_precision == "float32" and jnp.dtype(
+        getattr(X, "dtype", jnp.float64)
+    ) == jnp.float64
+    if use_f32_inner and isinstance(X, jax.Array):
         X32 = X.astype(jnp.float32)
         w32 = w.astype(jnp.float32)
 
         def hvp(v):
             return X32.T @ (w32 * (X32 @ v)) + jnp.float32(l2) * v
+
+        delta = _cg_solve(hvp, grad.astype(jnp.float32), n_cg)
+        return beta + delta.astype(beta.dtype)
+    if use_f32_inner and hasattr(X, "astype_float"):
+        X32 = X.astype_float(jnp.float32)
+        w32 = w.astype(jnp.float32)
+
+        def hvp(v):
+            return X32.transpose_matvec(w32 * X32.matvec(v)) + jnp.float32(l2) * v
 
         delta = _cg_solve(hvp, grad.astype(jnp.float32), n_cg)
         return beta + delta.astype(beta.dtype)

@@ -24,6 +24,7 @@ product mantissa — beyond f64 itself.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 T = 8  # bits per slice (bf16 mantissa)
 S = 7  # slices: 7*8 = 56 ≥ 53 mantissa bits
@@ -147,24 +148,19 @@ def matvec_cached(QX: jax.Array, eX: jax.Array, v: jax.Array) -> jax.Array:
     n_pad = nc * c
     Qflat = QX.reshape(S, n_pad, k)
     Qv, ev = _slice_vector(eX * v)
-    out = jnp.zeros((n_pad,), dtype=jnp.float64)
-    for L in range(MAX_LEVEL + 1):
-        pairs = [(p, L - p) for p in range(S) if 0 <= L - p < S]
-        scale = 0.5 ** ((L + 2) * T)
-        if len(pairs) * k <= 256:
-            # stacked contraction stays within the exact f32 budget
-            lhs = jnp.concatenate([Qflat[p] for p, _ in pairs], axis=1)
-            rhs = jnp.concatenate([Qv[q] for _, q in pairs])
-            part = jnp.einsum(
-                "nj,j->n", lhs, rhs, preferred_element_type=jnp.float32
-            )
-            out = out + part.astype(jnp.float64) * scale
-        else:
-            for p, q in pairs:
-                part = jnp.einsum(
-                    "nj,j->n", Qflat[p], Qv[q], preferred_element_type=jnp.float32
-                )
-                out = out + part.astype(jnp.float64) * scale
+
+    # one MXU matmul per X-slice: the S v-slices ride as output columns,
+    # P[p][:, q] = Qflat[p] @ Qv[q] — exact f32 integers while k ≤ 256.
+    R = Qv.T  # (k, S) bf16
+    P = jnp.einsum("pnj,jq->pnq", Qflat, R, preferred_element_type=jnp.float32)
+    scales = np.zeros((S, S))
+    for p in range(S):
+        for q in range(S):
+            if p + q <= MAX_LEVEL:
+                scales[p, q] = 0.5 ** ((p + q + 2) * T)
+    out = jnp.einsum(
+        "pnq,pq->n", P, jnp.asarray(scales), preferred_element_type=jnp.float64
+    )
     return out * ev
 
 

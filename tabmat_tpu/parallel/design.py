@@ -48,6 +48,19 @@ class DeviceDesign:
         order = np.concatenate([b.positions for b in blocks])
         self._gather_v = jnp.asarray(np.asarray(order, dtype=np.int32))
 
+    def astype_float(self, dtype):
+        """A view of the design with float leaves cast (ints untouched).
+
+        Used for mixed-precision inner CG: gathers/cumsums in f32 halve
+        traffic and skip f64 emulation, while the outer gradient stays f64.
+        """
+        return jax.tree_util.tree_map(
+            lambda leaf: leaf.astype(dtype)
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+            else leaf,
+            self,
+        )
+
     @property
     def dtype(self):
         """Float dtype of the design (from the first float-valued block)."""
