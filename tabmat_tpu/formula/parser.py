@@ -42,7 +42,7 @@ class Term:
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<op>[~+\-*:()])
+        (?P<op>\*\*|[~+\-*:/()])
       | (?P<num>\d+(?:\.\d+)?)
       | (?P<ident>[A-Za-z_.][\w.]*)
       | (?P<other>\S)
@@ -114,16 +114,44 @@ class _Parser:
             absorb(sign, *self.parse_term())
         return added, removed, votes
 
-    # term := inter ("*" inter)*
+    # term := inter (("*" | "/") inter | "**" NUMBER)*
     def parse_term(self):
         terms, vote = self.parse_inter()
-        while self.peek() == "*":
-            self.next()
+        while self.peek() in ("*", "/", "**"):
+            op = self.next()
+            if op == "**":
+                power_tok = self.next()
+                try:
+                    power = int(power_tok)
+                except ValueError:
+                    raise ValueError(
+                        f"'**' requires an integer power, got {power_tok!r}"
+                    )
+                # (a+b)**n: all interactions of the terms up to order n,
+                # with repeated factors within a term collapsed
+                base = list(terms)
+                expanded = list(terms)
+                current = list(terms)
+                for _ in range(power - 1):
+                    current = [
+                        _dedupe_factors(t.factors + b.factors)
+                        for t in current
+                        for b in base
+                    ]
+                    expanded.extend(current)
+                terms = _dedupe_terms(expanded)
+                continue
             rights, rvote = self.parse_inter()
-            crossed = [
-                Term(t.factors + r.factors) for t in terms for r in rights
-            ]
-            terms = terms + rights + crossed
+            if op == "*":
+                crossed = [
+                    Term(t.factors + r.factors) for t in terms for r in rights
+                ]
+                terms = terms + rights + crossed
+            else:  # "/" — nesting: a / b == a + a:b
+                crossed = [
+                    Term(t.factors + r.factors) for t in terms for r in rights
+                ]
+                terms = terms + crossed
             if rvote is not None:
                 vote = rvote
         return terms, vote
@@ -160,6 +188,27 @@ class _Parser:
         if tok in ("~", "+", "-", "*", ":", ")"):
             raise ValueError(f"Unexpected token {tok!r} in formula")
         return [Term((tok,))], None
+
+
+def _dedupe_factors(factors: tuple) -> Term:
+    """Collapse repeated factors within an interaction (a:a == a)."""
+    seen = []
+    for f in factors:
+        if f not in seen:
+            seen.append(f)
+    return Term(tuple(seen))
+
+
+def _dedupe_terms(terms: list) -> list:
+    """Order-preserving dedup by factor *set* (a:b == b:a for powers)."""
+    seen = set()
+    out = []
+    for t in terms:
+        key = frozenset(t.factors)
+        if key not in seen:
+            seen.add(key)
+            out.append(t)
+    return out
 
 
 def parse_formula(

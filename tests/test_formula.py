@@ -180,3 +180,32 @@ def test_formula_parse_errors():
         tm.from_formula("x +", DF)
     with pytest.raises(ValueError):
         tm.from_formula("(x", DF)
+
+
+def test_power_expansion():
+    res = tm.from_formula("(x + z)**2", DF)
+    assert res.column_names == ["x", "z", "x:z"]
+    arr = res.toarray()
+    np.testing.assert_allclose(
+        arr[:, 2], (DF["x"] * DF["z"]).to_numpy(), atol=1e-14
+    )
+
+
+def test_power_three_way():
+    df = DF.assign(w=np.arange(6.0))
+    res = tm.from_formula("(x + z + w)**3", df)
+    # 3 mains + 3 pairwise + 1 triple
+    assert res.shape[1] == 7
+    assert "x:z:w" in res.column_names
+
+
+def test_nesting():
+    res = tm.from_formula("x / z", DF)
+    assert res.column_names == ["x", "x:z"]
+
+
+def test_nesting_categorical():
+    res = tm.from_formula("cat / x", DF)
+    names = res.column_names
+    assert names[:3] == ["cat[a]", "cat[b]", "cat[c]"]
+    assert len(names) == 6  # 3 cat + 3 cat:x
