@@ -121,3 +121,46 @@ def test_graft_entry_contract():
     assert np.all(np.isfinite(np.asarray(out)))
     if len(jax.devices()) >= 8:
         g.dryrun_multichip(8)
+
+
+def test_shard_map_sandwich(mesh):
+    from tabmat_tpu.parallel.shard_ops import place_row_sharded, sharded_sandwich
+
+    rng = np.random.default_rng(10)
+    n, k = 2048, 7
+    X_np = rng.standard_normal((n, k))
+    d_np = rng.random(n)
+    X, d = place_row_sharded(mesh, jnp.asarray(X_np), jnp.asarray(d_np))
+    S = sharded_sandwich(X, d, mesh)
+    np.testing.assert_allclose(
+        np.asarray(S), (X_np * d_np[:, None]).T @ X_np, atol=1e-11
+    )
+
+
+def test_shard_map_tmv(mesh):
+    from tabmat_tpu.parallel.shard_ops import (
+        place_row_sharded,
+        sharded_transpose_matvec,
+    )
+
+    rng = np.random.default_rng(11)
+    n, k = 1024, 5
+    X_np = rng.standard_normal((n, k))
+    v_np = rng.standard_normal(n)
+    X, v = place_row_sharded(mesh, jnp.asarray(X_np), jnp.asarray(v_np))
+    out = sharded_transpose_matvec(X, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), X_np.T @ v_np, atol=1e-11)
+
+
+def test_shard_map_segment_sum(mesh):
+    from tabmat_tpu.parallel.shard_ops import place_row_sharded, sharded_segment_sum
+
+    rng = np.random.default_rng(12)
+    n, K = 4096, 17
+    codes = rng.integers(0, K, n).astype(np.int32)
+    vals = rng.random(n)
+    v, c = place_row_sharded(mesh, jnp.asarray(vals), jnp.asarray(codes))
+    out = sharded_segment_sum(v, c, K, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.bincount(codes, weights=vals, minlength=K), atol=1e-11
+    )
