@@ -112,9 +112,32 @@ def apply_mask(v: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _matvec_jnp(X: jax.Array, v: jax.Array) -> jax.Array:
+    return X @ v
+
+
+@jax.jit
+def _matvec_f64_rowchunked(X: jax.Array, v: jax.Array) -> jax.Array:
+    """Row-chunked ``X @ v``: same math, scan orientation.
+
+    The k-contraction is exact either way; chunking exists purely because
+    the emulated-f64 matmul runs measurably faster in small row blocks on
+    this backend (orientation-dependent emulation path).
+    """
+    n, k = X.shape
+    n_pad = -(-n // _F64_CHUNK) * _F64_CHUNK
+    Xp = jnp.pad(X, ((0, n_pad - n), (0, 0))).reshape(-1, _F64_CHUNK, k)
+
+    def body(_, Xc):
+        return None, Xc @ v
+
+    _, outs = jax.lax.scan(body, None, Xp)
+    return outs.reshape(n_pad)[:n]
+
+
 def matvec(X: jax.Array, v: jax.Array) -> jax.Array:
     """``X @ v`` (v may be 1-d or 2-d)."""
-    return X @ v
+    return _matvec_jnp(X, v)
 
 
 @jax.jit
