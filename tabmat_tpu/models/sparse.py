@@ -49,19 +49,24 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _pair_sandwich_jit(csr_data, ia, ib, row, dm, perm, bounds, k):
-    """Pair-expansion sandwich in ONE dispatch: gathers, cumsum, reshape."""
-    vals = jnp.take(csr_data, ia) * jnp.take(csr_data, ib) * jnp.take(dm, row)
-    gathered = jnp.take(vals, perm)
-    csum = jnp.cumsum(gathered)
+def _pair_sandwich_jit(pairprod_sorted, row_sorted, dm, bounds, k):
+    """Pair-expansion sandwich in ONE dispatch.
+
+    ``pairprod_sorted = (data[ia] * data[ib])[perm]`` and
+    ``row_sorted = row[perm]`` are construction-time constants, so the
+    per-op work is one gather of ``d``, one multiply, one cumsum, and the
+    boundary differences.
+    """
+    vals = pairprod_sorted * jnp.take(dm, row_sorted)
+    csum = jnp.cumsum(vals)
     padded = jnp.concatenate([jnp.zeros((1,), dtype=csum.dtype), csum])
     flat = jnp.take(padded, bounds[1:]) - jnp.take(padded, bounds[:-1])
     return flat.reshape(k, k)
 
 
-def _pair_sandwich_op(csr_data, ia, ib, row, dm, plan, k):
+def _pair_sandwich_op(pairprod_sorted, row_sorted, dm, bounds, k):
     """Device half of the pair-expansion sandwich."""
-    return _pair_sandwich_jit(csr_data, ia, ib, row, dm, plan.perm, plan.bounds, k)
+    return _pair_sandwich_jit(pairprod_sorted, row_sorted, dm, bounds, k)
 
 
 class SparseMatrix(MatrixBase):
@@ -172,17 +177,22 @@ class SparseMatrix(MatrixBase):
             self._pair_plan = ()
             return None
         from .. import _native
-        from ..ops.segments import build_plan
 
         ia, ib, row = _native.expand_pairs_csr(csr.indptr)
         cols = csr.indices
         keys = cols[ia].astype(np.int64) * k + cols[ib]
-        plan = build_plan(keys, k * k)
+        if k * k <= (1 << 24):
+            perm, bounds = _native.counting_argsort(keys.astype(np.int32), k * k)
+        else:
+            perm = np.argsort(keys, kind="stable")
+            bounds = np.searchsorted(keys[perm], np.arange(k * k + 1))
+        # pre-sort and pre-multiply everything structural
+        pairprod_sorted = (csr.data[ia] * csr.data[ib])[perm]
+        row_sorted = row[perm]
         self._pair_plan = (
-            plan,
-            jnp.asarray(ia),
-            jnp.asarray(ib),
-            jnp.asarray(row),
+            jnp.asarray(pairprod_sorted),
+            jnp.asarray(row_sorted),
+            jnp.asarray(np.asarray(bounds, dtype=np.int64)),
         )
         return self._pair_plan
 
@@ -325,14 +335,15 @@ class SparseMatrix(MatrixBase):
 
         pair = self._pair_sandwich_parts()
         if pair is not None:
-            plan, ia, ib, row = pair
-            csr_data = self._csr_parts()[0]
+            pairprod_sorted, row_sorted, bounds = pair
             d_dev = jnp.asarray(d_np)
             mask = rows_to_mask(
                 None if rows is None else np.asarray(rows), self.shape[0], self.dtype
             )
             dm = d_dev if mask is None else d_dev * jnp.asarray(mask)
-            S = _pair_sandwich_op(csr_data, ia, ib, row, dm, plan, self.shape[1])
+            S = _pair_sandwich_op(
+                pairprod_sorted, row_sorted, dm, bounds, self.shape[1]
+            )
             if cols is not None and not is_full_length(cols, self.shape[1]):
                 c = np.asarray(cols)
                 if is_jax_array(d_in):
