@@ -137,6 +137,68 @@ def irls_step(
     return beta + delta
 
 
+@partial(jax.jit, static_argnames=("family", "n_steps", "l1", "l2"))
+def fista_epoch(
+    X,
+    y: jax.Array,
+    sample_weight: jax.Array,
+    beta: jax.Array,
+    step: jax.Array,
+    family: str = "gaussian",
+    n_steps: int = 50,
+    l1: float = 0.0,
+    l2: float = 0.0,
+) -> jax.Array:
+    """``n_steps`` of FISTA for the elastic-net GLM objective (jittable).
+
+    Proximal gradient with Nesterov momentum: the smooth part is the
+    negative log-likelihood (+ l2/2·|β|²), the prox is soft-thresholding at
+    ``step·l1``.  All FLOPs are the same sandwich-structured matvecs as
+    IRLS, so the whole epoch compiles to one XLA program and row-shards the
+    same way.  ``step`` ≈ 1/L with L the gradient Lipschitz constant
+    (estimated by power iteration in :func:`fit_glm`).
+    """
+    from .ops import dense_ops
+
+    if isinstance(X, jax.Array):
+        mv = lambda v: dense_ops.matvec(X, v)  # noqa: E731
+        tmv = lambda r: dense_ops.transpose_matvec(X, r)  # noqa: E731
+    else:
+        mv = lambda v: X @ v  # noqa: E731
+        tmv = lambda r: X.T @ r  # noqa: E731
+
+    def grad(b):
+        eta = mv(b)
+        mu, _, resid = _family_terms(family, eta, y)
+        return -tmv(sample_weight * resid) + l2 * b
+
+    def soft(b, thresh):
+        return jnp.sign(b) * jnp.maximum(jnp.abs(b) - thresh, 0.0)
+
+    def body(_, state):
+        b, z, t = state
+        b_new = soft(z - step * grad(z), step * l1)
+        t_new = 0.5 * (1 + jnp.sqrt(1 + 4 * t * t))
+        z_new = b_new + ((t - 1) / t_new) * (b_new - b)
+        return (b_new, z_new, t_new)
+
+    b, _, _ = jax.lax.fori_loop(
+        0, n_steps, body, (beta, beta, jnp.asarray(1.0, beta.dtype))
+    )
+    return b
+
+
+def _power_iteration_lipschitz(mv, tmv, w, k, dtype, n_iter=12):
+    """Estimate L = λmax(Xᵀ diag(w) X) by power iteration (matvec-based)."""
+    v = jnp.ones((k,), dtype=dtype) / np.sqrt(k)
+    lam = jnp.asarray(1.0, dtype)
+    for _ in range(n_iter):
+        hv = tmv(w * mv(v))
+        lam = jnp.linalg.norm(hv)
+        v = hv / jnp.maximum(lam, 1e-30)
+    return float(lam)
+
+
 def fit_glm(
     X,
     y,
@@ -146,6 +208,7 @@ def fit_glm(
     tol: float = 1e-10,
     n_cg: int = 16,
     l2: float = 0.0,
+    l1: float = 0.0,
     inner_precision: str = "float32",
 ):
     """Fit a GLM by IRLS; accepts numpy/jax arrays or a tabmat DenseMatrix.
@@ -176,6 +239,39 @@ def fit_glm(
         sample_weight = jnp.asarray(np.asarray(sample_weight))
 
     beta = jnp.zeros(X.shape[1], dtype=X.dtype)
+
+    if l1 > 0:
+        # elastic net → FISTA epochs (IRLS can't handle the nonsmooth term)
+        from .ops import dense_ops
+
+        if isinstance(X, jax.Array):
+            mv = lambda v: dense_ops.matvec(X, v)  # noqa: E731
+            tmv = lambda r: dense_ops.transpose_matvec(X, r)  # noqa: E731
+        else:
+            mv = lambda v: X @ v  # noqa: E731
+            tmv = lambda r: X.T @ r  # noqa: E731
+        # Lipschitz bound of the smooth part: weight cap per family
+        w_cap = {"gaussian": 1.0, "logistic": 0.25, "poisson": None, "gamma": 1.0}[
+            family
+        ]
+        w_est = sample_weight * (w_cap if w_cap is not None else 1.0)
+        L = _power_iteration_lipschitz(
+            mv, tmv, w_est, X.shape[1], beta.dtype
+        ) + l2
+        if family == "poisson":
+            L *= 4.0  # slack for mu > 1 regions near the optimum
+        step = jnp.asarray(0.95 / max(L, 1e-30), beta.dtype)
+        for it in range(max_iter):
+            new_beta = fista_epoch(
+                X, y, sample_weight, beta, step,
+                family=family, n_steps=50, l1=l1, l2=l2,
+            )
+            delta = float(jnp.max(jnp.abs(new_beta - beta)))
+            beta = new_beta
+            if delta < tol:
+                return beta, it + 1
+        return beta, max_iter
+
     for it in range(max_iter):
         new_beta = irls_step(
             X, y, sample_weight, beta, family=family, n_cg=n_cg, l2=l2,
@@ -208,6 +304,7 @@ class GeneralizedLinearRegressor:
         self,
         family: str = "gaussian",
         l2: float = 0.0,
+        l1: float = 0.0,
         fit_intercept: bool = True,
         max_iter: int = 50,
         tol: float = 1e-10,
@@ -219,6 +316,7 @@ class GeneralizedLinearRegressor:
             raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
         self.family = family
         self.l2 = l2
+        self.l1 = l1
         self.fit_intercept = fit_intercept
         self.max_iter = max_iter
         self.tol = tol
@@ -275,6 +373,7 @@ class GeneralizedLinearRegressor:
                 tol=self.tol,
                 n_cg=self.n_cg,
                 l2=self.l2,
+                l1=self.l1,
                 inner_precision=self.inner_precision,
             )
             beta = np.asarray(beta)
@@ -300,6 +399,7 @@ class GeneralizedLinearRegressor:
             tol=self.tol,
             n_cg=self.n_cg,
             l2=self.l2,
+            l1=self.l1,
             inner_precision=self.inner_precision,
         )
         beta = np.asarray(beta)

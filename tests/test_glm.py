@@ -149,3 +149,48 @@ def test_estimator_formula_full_rank():
     ).fit(df)
     preds = est.predict(df)
     np.testing.assert_allclose(preds, df["y"].to_numpy(), rtol=0.05)
+
+
+def test_lasso_shrinks_to_zero():
+    rng = np.random.default_rng(30)
+    n, k = 800, 10
+    X = rng.standard_normal((n, k))
+    beta_true = np.zeros(k)
+    beta_true[:3] = [2.0, -1.5, 1.0]  # sparse truth
+    y = X @ beta_true + 0.05 * rng.standard_normal(n)
+    beta, _ = fit_glm(X, y, family="gaussian", l1=30.0 / n * n * 0.05, max_iter=60)
+    beta = np.asarray(beta)
+    # strong signals survive, null coordinates are (near-)zeroed
+    assert np.all(np.abs(beta[:3]) > 0.5)
+    assert np.all(np.abs(beta[3:]) < 0.05), beta[3:]
+
+
+def test_lasso_zero_penalty_matches_ols():
+    rng = np.random.default_rng(31)
+    n, k = 400, 5
+    X = rng.standard_normal((n, k))
+    y = X @ rng.standard_normal(k)
+    beta_l1, _ = fit_glm(X, y, family="gaussian", l1=1e-12, max_iter=100, tol=1e-12)
+    ols = np.linalg.solve(X.T @ X, X.T @ y)
+    np.testing.assert_allclose(np.asarray(beta_l1), ols, atol=1e-6)
+
+
+def test_elastic_net_poisson_runs():
+    rng = np.random.default_rng(32)
+    n, k = 1000, 6
+    X = rng.standard_normal((n, k)) * 0.3
+    y = rng.poisson(np.exp(0.2 * X[:, 0])).astype(float)
+    beta, _ = fit_glm(X, y, family="poisson", l1=0.5, l2=0.1, max_iter=30)
+    assert np.all(np.isfinite(np.asarray(beta)))
+
+
+def test_estimator_l1():
+    rng = np.random.default_rng(33)
+    n = 500
+    X = rng.standard_normal((n, 8))
+    y = 2.0 * X[:, 0] + 0.02 * rng.standard_normal(n)
+    est = tm.GeneralizedLinearRegressor(
+        family="gaussian", l1=20.0, fit_intercept=False, max_iter=60
+    ).fit(X, y)
+    assert abs(est.coef_[0]) > 1.5
+    assert np.all(np.abs(est.coef_[1:]) < 0.05)
