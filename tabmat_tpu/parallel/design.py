@@ -30,6 +30,49 @@ class _Block:
         self.positions = positions  # global column indices (host numpy)
 
 
+def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
+    """Merge several categorical blocks into ONE flat pseudo-categorical.
+
+    Per-iteration kernel-launch count then stays constant in the number of
+    categorical blocks (measured ~30 ms/CG-iteration of pure launch overhead
+    on the target runtime with per-block kernels):
+
+    - matvec: one padded gather over stacked codes (invalid codes point at
+      the zero pad), reshaped (C, n) and summed;
+    - tmv: one gather through the concatenated per-cat sort permutations,
+      one global cumsum (prefix offsets cancel in the boundary differences),
+      one start/end boundary gather.
+    """
+    codes_parts, perm_parts, starts_parts, ends_parts, pos_parts = [], [], [], [], []
+    local_off = 0
+    flat_off = 0
+    total_width = sum(m.shape[1] for m, _ in cat_pairs)
+    for m, positions in cat_pairs:
+        eff = m._eff_codes_np
+        codes_parts.append(
+            np.where(eff >= 0, eff + local_off, total_width).astype(np.int32)
+        )
+        plan = m.plan
+        perm_parts.append(np.asarray(plan.perm, dtype=np.int64))
+        bounds = np.asarray(plan.bounds, dtype=np.int64) + flat_off
+        starts_parts.append(bounds[:-1])
+        ends_parts.append(bounds[1:])
+        pos_parts.append(np.asarray(positions))
+        local_off += m.shape[1]
+        flat_off += m.shape[0]
+    return _Block(
+        "catstack",
+        {
+            "codes": jnp.asarray(np.concatenate(codes_parts)),
+            "perm": jnp.asarray(np.concatenate(perm_parts)),
+            "starts": jnp.asarray(np.concatenate(starts_parts)),
+            "ends": jnp.asarray(np.concatenate(ends_parts)),
+        },
+        total_width,
+        np.concatenate(pos_parts),
+    )
+
+
 class DeviceDesign:
     """A traceable linear operator assembled from matrix blocks."""
 
@@ -113,9 +156,16 @@ class DeviceDesign:
             raise TypeError(f"Cannot convert {type(m).__name__} to a DeviceDesign")
 
         if isinstance(mat, SplitMatrix):
-            blocks = [
-                block_of(m, idx) for m, idx in zip(mat.matrices, mat.indices)
+            pairs = list(zip(mat.matrices, mat.indices))
+            cat_pairs = [(m, i) for m, i in pairs if isinstance(m, CategoricalMatrix)]
+            other_pairs = [
+                (m, i) for m, i in pairs if not isinstance(m, CategoricalMatrix)
             ]
+            blocks = [block_of(m, idx) for m, idx in other_pairs]
+            if len(cat_pairs) > 1:
+                blocks.append(_stack_categoricals(cat_pairs, mat.shape[0]))
+            else:
+                blocks.extend(block_of(m, idx) for m, idx in cat_pairs)
             return cls(blocks, mat.shape[0], mat.shape[1])
         blocks = [block_of(mat, np.arange(mat.shape[1]))]
         return cls(blocks, mat.shape[0], mat.shape[1])
@@ -131,6 +181,11 @@ class DeviceDesign:
             csum = jnp.cumsum(t)
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
             return jnp.take(p, a["csr_bounds"][1:]) - jnp.take(p, a["csr_bounds"][:-1])
+        if block.kind == "catstack":
+            # stacked cats: one padded gather, reshape (C, n), one reduce
+            vcp = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+            g = jnp.take(vcp, a["codes"])
+            return g.reshape(-1, self.shape[0]).sum(axis=0)
         # categorical: gather (negative codes contribute zero)
         codes = a["codes"]
         valid = codes >= 0
@@ -148,6 +203,13 @@ class DeviceDesign:
             csum = jnp.cumsum(t)
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
             return jnp.take(p, a["csc_bounds"][1:]) - jnp.take(p, a["csc_bounds"][:-1])
+        if block.kind == "catstack":
+            # one gather through all cats' perms, one global cumsum (prefix
+            # offsets cancel in the start/end differences), one boundary take
+            g = jnp.take(r, a["perm"])
+            csum = jnp.cumsum(g)
+            p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            return jnp.take(p, a["ends"]) - jnp.take(p, a["starts"])
         g = jnp.take(r, a["perm"])
         csum = jnp.cumsum(g)
         p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])

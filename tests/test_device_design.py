@@ -97,3 +97,39 @@ def test_irls_step_jit_on_design():
     beta = jnp.zeros(mat.shape[1], dtype=jnp.float64)
     out = irls_step(design, y, w, beta, family="poisson", n_cg=5)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_stacked_categoricals_parity():
+    """Multiple cat blocks merge into one flat pseudo-categorical."""
+    rng = np.random.default_rng(9)
+    n = 80
+    mat = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 2))),
+            tm.CategoricalMatrix(rng.integers(0, 4, n), categories=np.arange(4)),
+            tm.CategoricalMatrix(
+                rng.integers(0, 6, n), categories=np.arange(6), drop_first=True
+            ),
+            tm.CategoricalMatrix(
+                np.where(rng.random(n) < 0.2, -1, rng.integers(0, 3, n)),
+                categories=np.arange(3),
+                cat_missing_method="zero",
+            ),
+        ]
+    )
+    design = DeviceDesign.from_matrix(mat)
+    kinds = [b.kind for b in design.blocks]
+    assert kinds.count("catstack") == 1 and "cat" not in kinds
+    arr = mat.toarray()
+    rng2 = np.random.default_rng(10)
+    v = jnp.asarray(rng2.standard_normal(mat.shape[1]))
+    r = jnp.asarray(rng2.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(design @ v), arr @ np.asarray(v), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(design.T @ r), arr.T @ np.asarray(r), atol=1e-12
+    )
+    # jitted + f32 view still consistent
+    d32 = design.astype_float(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(d32 @ v.astype(jnp.float32)), arr @ np.asarray(v), rtol=1e-4, atol=1e-4
+    )
