@@ -108,6 +108,15 @@ def irls_step(
     w = sample_weight * w_irls
     grad = tmv(sample_weight * resid) - l2 * beta
 
+    if getattr(X, "supports_sandwich", False):
+        # explicit-Hessian path: ONE sandwich per step (the expensive
+        # segment reductions run once), then CG on the small (k, k) matrix
+        H = X.sandwich(w)
+        if l2:
+            H = H + l2 * jnp.eye(H.shape[0], dtype=H.dtype)
+        delta = _cg_solve(lambda v: H @ v, grad, n_cg)
+        return beta + delta
+
     use_f32_inner = inner_precision == "float32" and jnp.dtype(
         getattr(X, "dtype", jnp.float64)
     ) == jnp.float64

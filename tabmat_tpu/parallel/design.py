@@ -23,11 +23,14 @@ import numpy as np
 class _Block:
     """One column block: static descriptor + device arrays."""
 
-    def __init__(self, kind: str, arrays: dict, width: int, positions: np.ndarray):
+    def __init__(
+        self, kind: str, arrays: dict, width: int, positions: np.ndarray, meta=()
+    ):
         self.kind = kind
         self.arrays = arrays
         self.width = width
         self.positions = positions  # global column indices (host numpy)
+        self.meta = meta  # static per-kind extras (e.g. per-cat widths)
 
 
 def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
@@ -60,16 +63,39 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
         pos_parts.append(np.asarray(positions))
         local_off += m.shape[1]
         flat_off += m.shape[0]
+
+    arrays = {
+        "codes": jnp.asarray(np.concatenate(codes_parts)),
+        "perm": jnp.asarray(np.concatenate(perm_parts)),
+        "starts": jnp.asarray(np.concatenate(starts_parts)),
+        "ends": jnp.asarray(np.concatenate(ends_parts)),
+    }
+    # cross-pair plans for the explicit design sandwich (built when the
+    # product of widths is bounded — the same feasibility as the sandwich)
+    widths = tuple(m.shape[1] for m, _ in cat_pairs)
+    if all(
+        w1 * w2 <= (1 << 24)
+        for a, w1 in enumerate(widths)
+        for w2 in widths[a + 1 :]
+    ):
+        from .. import _native
+
+        for a in range(len(cat_pairs)):
+            for b in range(a + 1, len(cat_pairs)):
+                e1 = cat_pairs[a][0]._eff_codes_np.astype(np.int32, copy=False)
+                e2 = cat_pairs[b][0]._eff_codes_np.astype(np.int32, copy=False)
+                combined = _native.combine_codes(e1, e2, widths[b])
+                perm, bounds = _native.counting_argsort(
+                    np.asarray(combined, dtype=np.int32), widths[a] * widths[b]
+                )
+                arrays[f"xperm_{a}_{b}"] = jnp.asarray(perm)
+                arrays[f"xbounds_{a}_{b}"] = jnp.asarray(bounds)
     return _Block(
         "catstack",
-        {
-            "codes": jnp.asarray(np.concatenate(codes_parts)),
-            "perm": jnp.asarray(np.concatenate(perm_parts)),
-            "starts": jnp.asarray(np.concatenate(starts_parts)),
-            "ends": jnp.asarray(np.concatenate(ends_parts)),
-        },
+        arrays,
         total_width,
         np.concatenate(pos_parts),
+        meta=widths,
     )
 
 
@@ -239,6 +265,132 @@ class DeviceDesign:
             out = out + self.shift * jnp.sum(r)
         return out
 
+    # -- explicit sandwich (traceable) --------------------------------------
+
+    # widest design for which the explicit (k, k) Hessian is built
+    SANDWICH_MAX_COLS = 4096
+
+    @property
+    def supports_sandwich(self) -> bool:
+        """True when a traceable explicit sandwich is available (static)."""
+        if self.shape[1] > self.SANDWICH_MAX_COLS:
+            return False
+        if self.shift is not None or self.mult is not None:
+            return False  # standardized designs use the hvp path
+        kinds = {b.kind for b in self.blocks}
+        if not kinds <= {"dense", "cat", "catstack"}:
+            return False
+        for b in self.blocks:
+            if b.kind == "catstack":
+                widths = b.meta
+                for a in range(len(widths)):
+                    for c in range(a + 1, len(widths)):
+                        if f"xperm_{a}_{c}" not in b.arrays:
+                            return False
+        return True
+
+    def sandwich(self, w: jax.Array) -> jax.Array:
+        """Explicit ``Xᵀ diag(w) X`` → (k, k), one traceable expression.
+
+        The classic GLM pattern the reference library exists for
+        (``tabmat/split_matrix.py:324-356``), fused on device: per-block
+        diagonal blocks, pairwise cross blocks via segment reductions, and
+        scatter-free assembly with the global column gather map.
+        """
+        from ..ops import dense_ops
+
+        def seg_sum(perm, starts, ends, vals):
+            csum = jnp.cumsum(jnp.take(vals, perm))
+            p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            return jnp.take(p, ends) - jnp.take(p, starts)
+
+        n = self.shape[0]
+        dense_blocks = [b for b in self.blocks if b.kind == "dense"]
+        cat_info = []  # (perm, starts, ends, width) per cat, in concat order
+        cross = {}
+        for b in self.blocks:
+            if b.kind == "cat":
+                bounds = b.arrays["bounds"]
+                cat_info.append(
+                    (b.arrays["perm"], bounds[:-1], bounds[1:], b.width, b)
+                )
+            elif b.kind == "catstack":
+                widths = b.meta
+                off_flat = 0
+                start_off = 0
+                for ci, wc in enumerate(widths):
+                    # the stored starts/ends carry the flat c·n stream offset
+                    # (for the stacked tmv); remove it for per-cat use
+                    cat_info.append(
+                        (
+                            b.arrays["perm"][off_flat : off_flat + n],
+                            b.arrays["starts"][start_off : start_off + wc] - off_flat,
+                            b.arrays["ends"][start_off : start_off + wc] - off_flat,
+                            wc,
+                            b,
+                        )
+                    )
+                    off_flat += n
+                    start_off += wc
+                base = len(cat_info) - len(widths)
+                for a in range(len(widths)):
+                    for c in range(a + 1, len(widths)):
+                        cross[(base + a, base + c)] = (
+                            b.arrays[f"xperm_{a}_{c}"],
+                            b.arrays[f"xbounds_{a}_{c}"],
+                        )
+
+        Xd = dense_blocks[0].arrays["X"] if dense_blocks else None
+        kd = Xd.shape[1] if Xd is not None else 0
+        wXd = Xd * w[:, None] if Xd is not None else None
+
+        rows = []
+        if Xd is not None:
+            S_dd = dense_ops._sandwich_f64_chunked(Xd, w) if (
+                Xd.dtype == jnp.float64 and n > dense_ops._F64_CHUNK
+            ) else dense_ops._sandwich_jnp(Xd, w)
+            cross_dc = []
+            for perm, starts, ends, wc, b in cat_info:
+                # cat×dense: segment-sum of w-scaled dense rows (exact cumsum)
+                g = jnp.take(wXd, perm, axis=0)
+                csum = jnp.cumsum(g, axis=0)
+                p = jnp.concatenate(
+                    [jnp.zeros((1, kd), csum.dtype), csum], axis=0
+                )
+                M = jnp.take(p, ends, axis=0) - jnp.take(p, starts, axis=0)
+                cross_dc.append(M)  # (wc, kd)
+            top = (
+                jnp.concatenate([S_dd] + [M.T for M in cross_dc], axis=1)
+                if cross_dc
+                else S_dd
+            )
+            rows.append(top)
+        else:
+            cross_dc = []
+
+        for i, (perm_i, starts_i, ends_i, wi, _) in enumerate(cat_info):
+            row_parts = []
+            if Xd is not None:
+                row_parts.append(cross_dc[i])
+            for j, (perm_j, starts_j, ends_j, wj, _) in enumerate(cat_info):
+                if i == j:
+                    diag = seg_sum(perm_i, starts_i, ends_i, w)
+                    row_parts.append(jnp.diag(diag))
+                elif (min(i, j), max(i, j)) in cross:
+                    xperm, xbounds = cross[(min(i, j), max(i, j))]
+                    flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)
+                    if i < j:
+                        row_parts.append(flat.reshape(wi, wj))
+                    else:
+                        row_parts.append(flat.reshape(wj, wi).T)
+                else:
+                    raise NotImplementedError("missing cross plan")
+            rows.append(jnp.concatenate(row_parts, axis=1))
+
+        H_concat = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+        gidx = self._index_map
+        return jnp.take(jnp.take(H_concat, gidx, axis=0), gidx, axis=1)
+
     # operator sugar so glm.irls_step works unchanged
     def __matmul__(self, v):
         return self.matvec(v)
@@ -266,7 +418,7 @@ def _design_flatten(d: DeviceDesign):
     children.append(d._gather_v)
     aux = (
         tuple((b.kind, tuple(b.arrays.keys()), b.width, b.positions.tobytes(),
-               b.positions.dtype.str, len(b.positions)) for b in d.blocks),
+               b.positions.dtype.str, len(b.positions), b.meta) for b in d.blocks),
         d.shape,
     )
     return children, aux
@@ -277,13 +429,13 @@ def _design_unflatten(aux, children):
     d = object.__new__(DeviceDesign)
     blocks = []
     i = 0
-    for kind, keys, width, pos_bytes, pos_dtype, pos_len in block_descs:
+    for kind, keys, width, pos_bytes, pos_dtype, pos_len, meta in block_descs:
         arrays = {}
         for k in keys:
             arrays[k] = children[i]
             i += 1
         positions = np.frombuffer(pos_bytes, dtype=np.dtype(pos_dtype), count=pos_len)
-        blocks.append(_Block(kind, arrays, width, positions))
+        blocks.append(_Block(kind, arrays, width, positions, meta=meta))
     d.blocks = blocks
     d.shape = shape
     d.shift = children[i]

@@ -133,3 +133,79 @@ def test_stacked_categoricals_parity():
     np.testing.assert_allclose(
         np.asarray(d32 @ v.astype(jnp.float32)), arr @ np.asarray(v), rtol=1e-4, atol=1e-4
     )
+
+
+def test_design_sandwich_explicit():
+    """Traceable explicit sandwich matches the dense oracle."""
+    rng = np.random.default_rng(40)
+    n = 120
+    mat = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 3))),
+            tm.CategoricalMatrix(rng.integers(0, 5, n), categories=np.arange(5)),
+            tm.CategoricalMatrix(rng.integers(0, 4, n), categories=np.arange(4)),
+        ],
+        [np.array([0, 4, 8]), np.array([1, 2, 3, 5, 6]), np.array([7, 9, 10, 11])],
+    )
+    design = DeviceDesign.from_matrix(mat)
+    assert design.supports_sandwich
+    w = jnp.asarray(rng.random(n))
+    H = np.asarray(design.sandwich(w))
+    arr = mat.toarray()
+    ref = (arr * np.asarray(w)[:, None]).T @ arr
+    np.testing.assert_allclose(H, ref, atol=1e-11)
+    # and under jit
+    H2 = np.asarray(jax.jit(lambda d, w: d.sandwich(w))(design, w))
+    np.testing.assert_allclose(H2, ref, atol=1e-11)
+
+
+def test_design_sandwich_single_cat():
+    rng = np.random.default_rng(41)
+    n = 60
+    mat = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 2))),
+            tm.CategoricalMatrix(rng.integers(0, 3, n), categories=np.arange(3)),
+        ]
+    )
+    design = DeviceDesign.from_matrix(mat)
+    assert design.supports_sandwich
+    w = jnp.asarray(rng.random(n))
+    arr = mat.toarray()
+    np.testing.assert_allclose(
+        np.asarray(design.sandwich(w)),
+        (arr * np.asarray(w)[:, None]).T @ arr,
+        atol=1e-12,
+    )
+
+
+def test_design_sandwich_not_supported_with_sparse():
+    mat = make_split()  # contains a sparse block
+    design = DeviceDesign.from_matrix(mat)
+    assert not design.supports_sandwich
+
+
+def test_irls_explicit_h_matches_hvp_path():
+    rng = np.random.default_rng(42)
+    n = 500
+    # full-rank design: second categorical drops its reference level
+    mat = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 3))),
+            tm.CategoricalMatrix(rng.integers(0, 6, n), categories=np.arange(6)),
+            tm.CategoricalMatrix(
+                rng.integers(0, 5, n), categories=np.arange(5), drop_first=True
+            ),
+        ]
+    )
+    design = DeviceDesign.from_matrix(mat)
+    y = jnp.asarray(rng.poisson(1.2, n).astype(np.float64))
+    w = jnp.ones(n, dtype=jnp.float64)
+    beta = jnp.asarray(rng.standard_normal(mat.shape[1]) * 0.01)
+    explicit = irls_step(design, y, w, beta, family="poisson", n_cg=30)
+    # hvp reference on the densified design (same CG count)
+    Xd = jnp.asarray(mat.toarray())
+    ref = irls_step(
+        Xd, y, w, beta, family="poisson", n_cg=30, inner_precision="float64"
+    )
+    np.testing.assert_allclose(np.asarray(explicit), np.asarray(ref), atol=1e-6)
