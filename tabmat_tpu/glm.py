@@ -110,7 +110,17 @@ def irls_step(
 
     if getattr(X, "supports_sandwich", False):
         # explicit-Hessian path: ONE sandwich per step (the expensive
-        # segment reductions run once), then CG on the small (k, k) matrix
+        # segment reductions run once), then CG on the small (k, k) matrix.
+        # With inner_precision='float32' the direction's Hessian is built in
+        # f32 (halved gather traffic) — inexact Newton, f64 gradient keeps
+        # the fixed point exact.
+        if inner_precision == "float32" and jnp.dtype(X.dtype) == jnp.float64:
+            X32 = X.astype_float(jnp.float32)
+            H = X32.sandwich(w.astype(jnp.float32))
+            if l2:
+                H = H + jnp.float32(l2) * jnp.eye(H.shape[0], dtype=H.dtype)
+            delta = _cg_solve(lambda v: H @ v, grad.astype(jnp.float32), n_cg)
+            return beta + delta.astype(beta.dtype)
         H = X.sandwich(w)
         if l2:
             H = H + l2 * jnp.eye(H.shape[0], dtype=H.dtype)
