@@ -207,24 +207,15 @@ def main():
     beta2_ring = ring(lambda: rng.standard_normal(km) * 0.001)
 
     # CPU equivalent: same algorithm over a scipy CSR of the same design
-    X_csr32 = sps2.csr_matrix(
+    X_csr64 = sps2.csr_matrix(
         sps2.hstack(
-            [sps2.csr_matrix(np.asarray(design.blocks[0].arrays["X"]))]
-            + [
-                sps2.csr_matrix(
-                    (
-                        np.ones(n),
-                        np.asarray(b.arrays["codes"]),
-                        np.arange(n + 1),
-                    ),
-                    shape=(n, b.width),
-                )
-                for b in design.blocks[1:]
+            [
+                m.tocsr() if hasattr(m, "tocsr") else sps2.csr_matrix(m.toarray())
+                for m in split.matrices
             ]
         ),
-        dtype=np.float32,
+        dtype=np.float64,
     )
-    X_csr64 = X_csr32.astype(np.float64)
     y2_np = np.asarray(y2)
 
     def split_step_np(beta):
