@@ -17,11 +17,14 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 N_RING = 6  # distinct operand vectors rotated through the timed loop
+# TABMAT_TPU_BENCH_SCALE shrinks row counts (used by the smoke test)
+SCALE = float(os.environ.get("TABMAT_TPU_BENCH_SCALE", "1.0"))
 
 
 def _timeit_ring(make_call, args_ring, n_rounds=4):
@@ -68,7 +71,7 @@ def main():
         return out
 
     # ---------------- dense 1M x 50 fp64 ----------------
-    n, k = 1_000_000, 50
+    n, k = max(int(1_000_000 * SCALE), 512), 50
     X_np = rng.standard_normal((n, k))
     dm = tm.DenseMatrix(X_np)
 
@@ -96,7 +99,7 @@ def main():
     dense_relerr = float(np.abs(S - S_ref).max() / np.abs(S_ref).max())
 
     # ---------------- categorical 1M x 10k ----------------
-    ncat = 10_000
+    ncat = max(int(10_000 * SCALE), 16)
     codes = rng.integers(0, ncat, n).astype(np.int32)
     cm = tm.CategoricalMatrix(codes, categories=np.arange(ncat))
     cm.plan  # build segment plan outside the timed region
@@ -119,7 +122,7 @@ def main():
     )
 
     # ---------------- sparse 400k x 100 @ 1% ----------------
-    ns, ks = 400_000, 100
+    ns, ks = max(int(400_000 * SCALE), 512), 100
     S_sp = sps.random(ns, ks, density=0.01, random_state=0, format="csc")
     S_csr = S_sp.tocsr()
     sm = tm.SparseMatrix(S_sp)
@@ -186,7 +189,7 @@ def main():
     import tabmat_tpu.parallel as tp
     from scipy import sparse as sps2
 
-    kd, kc1, kc2 = 5, 1000, 1000
+    kd, kc1, kc2 = 5, max(int(1000 * SCALE), 8), max(int(1000 * SCALE), 8)
     split = tm.SplitMatrix(
         [
             tm.DenseMatrix(rng.standard_normal((n, kd))),
