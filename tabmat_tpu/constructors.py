@@ -67,12 +67,25 @@ def _split_sparse_and_dense_parts(
     return X_dense, X_sparse, dense_indices, sparse_indices
 
 
-def _reindex_cat(indices, is_cat, mxcolidx):
+def _reindex_cat(indices, cat_groups, mxcolidx):
+    """Shift categorical index blocks to the end of the column space.
+
+    Entries sharing a group id (the dense+sparse parts of one split-up
+    categorical) carry indices into a COMMON within-category space and must
+    receive the same offset; the offset advances by the group's total width.
+    """
     new_indices = []
-    for mat_indices, flag in zip(indices, is_cat):
-        if flag:
-            new_indices.append(np.asarray(mat_indices) + mxcolidx)
-            mxcolidx += len(mat_indices)
+    group_offsets = {}
+    group_sizes = {}
+    for mat_indices, gid in zip(indices, cat_groups):
+        if gid is not None:
+            group_sizes[gid] = group_sizes.get(gid, 0) + len(mat_indices)
+    for mat_indices, gid in zip(indices, cat_groups):
+        if gid is not None:
+            if gid not in group_offsets:
+                group_offsets[gid] = mxcolidx
+                mxcolidx += group_sizes[gid]
+            new_indices.append(np.asarray(mat_indices) + group_offsets[gid])
         else:
             new_indices.append(mat_indices)
     return new_indices
@@ -105,7 +118,8 @@ def from_df(
 
     matrices: list[Union[DenseMatrix, SparseMatrix, CategoricalMatrix]] = []
     indices: list[np.ndarray] = []
-    is_cat: list[bool] = []
+    cat_groups: list = []  # group id for categorical entries, else None
+    next_group = 0
 
     dense_dfidx = []
     dense_tmidx = []
@@ -155,9 +169,10 @@ def from_df(
                     term_names=cat.get_names("term"),
                 )
                 matrices.append(X_dense)
-                is_cat.append(True)
+                cat_groups.append(next_group)
                 matrices.append(X_sparse)
-                is_cat.append(True)
+                cat_groups.append(next_group)
+                next_group += 1
                 if cat_position == "expand":
                     indices.append(mxcolidx + dense_idx)
                     indices.append(mxcolidx + sparse_idx)
@@ -167,7 +182,8 @@ def from_df(
                     indices.append(sparse_idx)
             else:
                 matrices.append(cat)
-                is_cat.append(True)
+                cat_groups.append(next_group)
+                next_group += 1
                 if cat_position == "expand":
                     indices.append(mxcolidx + np.arange(cat.shape[1]))
                     mxcolidx += cat.shape[1]
@@ -205,7 +221,7 @@ def from_df(
             )
         )
         indices.append(np.asarray(dense_tmidx))
-        is_cat.append(False)
+        cat_groups.append(None)
     if sparse_dfidx:
         native = nw.to_native(df)
         if pd is not None and isinstance(native, pd.DataFrame):
@@ -221,10 +237,10 @@ def from_df(
             )
         )
         indices.append(np.asarray(sparse_tmidx))
-        is_cat.append(False)
+        cat_groups.append(None)
 
     if cat_position == "end":
-        indices = _reindex_cat(indices, is_cat, mxcolidx)
+        indices = _reindex_cat(indices, cat_groups, mxcolidx)
 
     if len(matrices) > 1:
         return SplitMatrix(matrices, indices)

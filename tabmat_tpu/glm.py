@@ -41,26 +41,50 @@ def _family_terms(family: str, eta: jax.Array, y: jax.Array):
         mu = jax.nn.sigmoid(eta)
         w = mu * (1 - mu)
     elif family == "gamma":
-        # log link (common practical choice); w = mu²/V(mu) = 1 under log
+        # log link (common practical choice): w = mu²/V(mu) = 1 and the
+        # score is Xᵀ((y - mu)/mu) — NOT the Poisson residual y - mu
         mu = jnp.exp(eta)
         w = jnp.ones_like(eta)
+        return mu, w, (y - mu) / mu
     else:
         raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
     return mu, w, y - mu
 
 
+def _make_mv_tmv(X):
+    """Matvec/transpose-matvec closures for an array or DeviceDesign."""
+    from .ops import dense_ops
+
+    if isinstance(X, jax.Array):
+        return (
+            lambda v: dense_ops.matvec(X, v),
+            lambda r: dense_ops.transpose_matvec(X, r),
+        )
+    return (lambda v: X @ v), (lambda r: X.T @ r)
+
+
 def _cg_solve(matvec: Callable, b: jax.Array, n_iter: int) -> jax.Array:
-    """Fixed-iteration conjugate gradient (jittable, lax.fori_loop)."""
+    """Fixed-iteration conjugate gradient (jittable, lax.fori_loop).
+
+    Convergence-safe: once the residual has collapsed (or ``pᵀAp`` flushes
+    to zero on FTZ hardware), the step sizes are forced to 0 instead of
+    dividing by a flushed denominator — running past convergence would
+    otherwise overflow into inf−inf = NaN.
+    """
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
 
     def body(_, state):
         x, r, p, rs = state
         Ap = matvec(p)
-        alpha = rs / jnp.maximum(jnp.vdot(p, Ap), tiny)
+        denom = jnp.vdot(p, Ap)
+        live = denom > tiny
+        alpha = jnp.where(live, rs / jnp.where(live, denom, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         rs_new = jnp.vdot(r, r)
-        beta = rs_new / jnp.maximum(rs, tiny)
+        beta = jnp.where(
+            rs > tiny, rs_new / jnp.where(rs > tiny, rs, 1.0), 0.0
+        )
         p = r + beta * p
         return (x, r, p, rs_new)
 
@@ -80,6 +104,7 @@ def irls_step(
     n_cg: int = 16,
     l2: float = 0.0,
     inner_precision: str = "float32",
+    penalty_scale=None,
 ) -> jax.Array:
     """One IRLS Newton step with a matrix-free CG inner solve.
 
@@ -94,19 +119,14 @@ def irls_step(
     turning 2·n_cg emulated-f64 matvecs into native-speed f32 ones.  Pass
     ``inner_precision='float64'`` for a fully f64 step.
     """
-    from .ops import dense_ops
-
-    if isinstance(X, jax.Array):
-        mv = lambda v: dense_ops.matvec(X, v)  # noqa: E731
-        tmv = lambda r: dense_ops.transpose_matvec(X, r)  # noqa: E731
-    else:
-        mv = lambda v: X @ v  # noqa: E731
-        tmv = lambda r: X.T @ r  # noqa: E731
+    mv, tmv = _make_mv_tmv(X)
 
     eta = mv(beta)
     mu, w_irls, resid = _family_terms(family, eta, y)
     w = sample_weight * w_irls
-    grad = tmv(sample_weight * resid) - l2 * beta
+    # penalty_scale (e.g. 0 on the intercept) keeps chosen coords unpenalized
+    ps = jnp.ones_like(beta) if penalty_scale is None else penalty_scale
+    grad = tmv(sample_weight * resid) - l2 * ps * beta
 
     if getattr(X, "supports_sandwich", False):
         # explicit-Hessian path: ONE sandwich per step (the expensive
@@ -118,12 +138,12 @@ def irls_step(
             X32 = X.astype_float(jnp.float32)
             H = X32.sandwich(w.astype(jnp.float32))
             if l2:
-                H = H + jnp.float32(l2) * jnp.eye(H.shape[0], dtype=H.dtype)
+                H = H + jnp.float32(l2) * jnp.diag(ps.astype(jnp.float32))
             delta = _cg_solve(lambda v: H @ v, grad.astype(jnp.float32), n_cg)
             return beta + delta.astype(beta.dtype)
         H = X.sandwich(w)
         if l2:
-            H = H + l2 * jnp.eye(H.shape[0], dtype=H.dtype)
+            H = H + l2 * jnp.diag(ps)
         delta = _cg_solve(lambda v: H @ v, grad, n_cg)
         return beta + delta
 
@@ -134,8 +154,10 @@ def irls_step(
         X32 = X.astype(jnp.float32)
         w32 = w.astype(jnp.float32)
 
+        ps32 = ps.astype(jnp.float32)
+
         def hvp(v):
-            return X32.T @ (w32 * (X32 @ v)) + jnp.float32(l2) * v
+            return X32.T @ (w32 * (X32 @ v)) + jnp.float32(l2) * ps32 * v
 
         delta = _cg_solve(hvp, grad.astype(jnp.float32), n_cg)
         return beta + delta.astype(beta.dtype)
@@ -143,14 +165,19 @@ def irls_step(
         X32 = X.astype_float(jnp.float32)
         w32 = w.astype(jnp.float32)
 
+        ps32 = ps.astype(jnp.float32)
+
         def hvp(v):
-            return X32.transpose_matvec(w32 * X32.matvec(v)) + jnp.float32(l2) * v
+            return (
+                X32.transpose_matvec(w32 * X32.matvec(v))
+                + jnp.float32(l2) * ps32 * v
+            )
 
         delta = _cg_solve(hvp, grad.astype(jnp.float32), n_cg)
         return beta + delta.astype(beta.dtype)
 
     def hvp(v):
-        return tmv(w * mv(v)) + l2 * v
+        return tmv(w * mv(v)) + l2 * ps * v
 
     delta = _cg_solve(hvp, grad, n_cg)
     return beta + delta
@@ -167,6 +194,7 @@ def fista_epoch(
     n_steps: int = 50,
     l1: float = 0.0,
     l2: float = 0.0,
+    penalty_scale=None,
 ) -> jax.Array:
     """``n_steps`` of FISTA for the elastic-net GLM objective (jittable).
 
@@ -177,26 +205,21 @@ def fista_epoch(
     same way.  ``step`` ≈ 1/L with L the gradient Lipschitz constant
     (estimated by power iteration in :func:`fit_glm`).
     """
-    from .ops import dense_ops
+    mv, tmv = _make_mv_tmv(X)
 
-    if isinstance(X, jax.Array):
-        mv = lambda v: dense_ops.matvec(X, v)  # noqa: E731
-        tmv = lambda r: dense_ops.transpose_matvec(X, r)  # noqa: E731
-    else:
-        mv = lambda v: X @ v  # noqa: E731
-        tmv = lambda r: X.T @ r  # noqa: E731
+    ps = jnp.ones_like(beta) if penalty_scale is None else penalty_scale
 
     def grad(b):
         eta = mv(b)
         mu, _, resid = _family_terms(family, eta, y)
-        return -tmv(sample_weight * resid) + l2 * b
+        return -tmv(sample_weight * resid) + l2 * ps * b
 
     def soft(b, thresh):
         return jnp.sign(b) * jnp.maximum(jnp.abs(b) - thresh, 0.0)
 
     def body(_, state):
         b, z, t = state
-        b_new = soft(z - step * grad(z), step * l1)
+        b_new = soft(z - step * grad(z), step * l1 * ps)
         t_new = 0.5 * (1 + jnp.sqrt(1 + 4 * t * t))
         z_new = b_new + ((t - 1) / t_new) * (b_new - b)
         return (b_new, z_new, t_new)
@@ -229,6 +252,7 @@ def fit_glm(
     l2: float = 0.0,
     l1: float = 0.0,
     inner_precision: str = "float32",
+    penalty_scale=None,
 ):
     """Fit a GLM by IRLS; accepts numpy/jax arrays or a tabmat DenseMatrix.
 
@@ -258,17 +282,12 @@ def fit_glm(
         sample_weight = jnp.asarray(np.asarray(sample_weight))
 
     beta = jnp.zeros(X.shape[1], dtype=X.dtype)
+    if penalty_scale is not None:
+        penalty_scale = jnp.asarray(np.asarray(penalty_scale), dtype=beta.dtype)
 
     if l1 > 0:
         # elastic net → FISTA epochs (IRLS can't handle the nonsmooth term)
-        from .ops import dense_ops
-
-        if isinstance(X, jax.Array):
-            mv = lambda v: dense_ops.matvec(X, v)  # noqa: E731
-            tmv = lambda r: dense_ops.transpose_matvec(X, r)  # noqa: E731
-        else:
-            mv = lambda v: X @ v  # noqa: E731
-            tmv = lambda r: X.T @ r  # noqa: E731
+        mv, tmv = _make_mv_tmv(X)
         # Lipschitz bound of the smooth part: weight cap per family
         w_cap = {"gaussian": 1.0, "logistic": 0.25, "poisson": None, "gamma": 1.0}[
             family
@@ -284,6 +303,7 @@ def fit_glm(
             new_beta = fista_epoch(
                 X, y, sample_weight, beta, step,
                 family=family, n_steps=50, l1=l1, l2=l2,
+                penalty_scale=penalty_scale,
             )
             delta = float(jnp.max(jnp.abs(new_beta - beta)))
             beta = new_beta
@@ -294,7 +314,7 @@ def fit_glm(
     for it in range(max_iter):
         new_beta = irls_step(
             X, y, sample_weight, beta, family=family, n_cg=n_cg, l2=l2,
-            inner_precision=inner_precision,
+            inner_precision=inner_precision, penalty_scale=penalty_scale,
         )
         delta = float(jnp.max(jnp.abs(new_beta - beta)))
         beta = new_beta
@@ -355,12 +375,21 @@ class GeneralizedLinearRegressor:
 
             X = from_df(X)
         if self.fit_intercept:
-            ones = np.ones((X.shape[0], 1))
+            ones = np.ones((X.shape[0], 1), dtype=np.dtype(X.dtype))
             if isinstance(X, (np.ndarray, jax.Array)):
                 X = hstack([ones, np.asarray(X)])
             else:
                 X = hstack([ones, X])
         return X
+
+    def _penalty_scale(self, k_total, has_intercept):
+        """Exclude the intercept column from l1/l2 penalties (glum/sklearn
+        convention)."""
+        if not (has_intercept and (self.l1 > 0 or self.l2 > 0)):
+            return None
+        ps = np.ones(k_total)
+        ps[0] = 0.0
+        return ps
 
     def fit(self, X, y=None, sample_weight=None):
         """Fit by IRLS; stores ``coef_``, ``intercept_``, ``n_iter_``.
@@ -383,6 +412,8 @@ class GeneralizedLinearRegressor:
                 ensure_full_rank=True,
             )
             self._formula_spec = design_mat.model_spec
+            names = design_mat.column_names
+            has_icpt = bool(names) and names[0] == "Intercept"
             beta, n_iter = fit_glm(
                 design_mat,
                 y,
@@ -394,9 +425,9 @@ class GeneralizedLinearRegressor:
                 l2=self.l2,
                 l1=self.l1,
                 inner_precision=self.inner_precision,
+                penalty_scale=self._penalty_scale(design_mat.shape[1], has_icpt),
             )
             beta = np.asarray(beta)
-            names = design_mat.column_names
             if self.fit_intercept and names and names[0] == "Intercept":
                 self.intercept_ = float(beta[0])
                 self.coef_ = beta[1:]
@@ -420,6 +451,7 @@ class GeneralizedLinearRegressor:
             l2=self.l2,
             l1=self.l1,
             inner_precision=self.inner_precision,
+            penalty_scale=self._penalty_scale(design.shape[1], self.fit_intercept),
         )
         beta = np.asarray(beta)
         if self.fit_intercept:

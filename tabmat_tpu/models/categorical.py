@@ -19,6 +19,7 @@ dense blocks become segment-summed row reductions (see ``SplitMatrix``).
 
 import re
 import warnings
+import weakref
 from typing import Optional
 
 import jax
@@ -197,7 +198,9 @@ class CategoricalMatrix(MatrixBase):
         # device-side state, built lazily
         self._eff_codes_dev: Optional[jax.Array] = None
         self._plan: Optional[SegmentPlan] = None
-        self._cross_plans: dict = {}
+        # weak keys: a plan dies with the matrix it was built against
+        # (an id()-keyed dict returns stale plans after address reuse)
+        self._cross_plans = weakref.WeakKeyDictionary()
         self.x_csc = None  # API-parity attribute
 
     __array_ufunc__ = None
@@ -207,8 +210,12 @@ class CategoricalMatrix(MatrixBase):
         state = self.__dict__.copy()
         state["_eff_codes_dev"] = None
         state["_plan"] = None
-        state["_cross_plans"] = {}
+        state["_cross_plans"] = None  # WeakKeyDictionary is not picklable
         return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._cross_plans = weakref.WeakKeyDictionary()
 
     # -- lazy device state -------------------------------------------------
 
@@ -338,7 +345,9 @@ class CategoricalMatrix(MatrixBase):
         )
         vals = d if mask is None else categorical_ops.masked_values(d, jnp.asarray(mask))
         diag = self.plan.sum(vals)
-        if cols is not None and len(cols) < self.shape[1]:
+        from ..utils.validation import is_identity_index
+
+        if not is_identity_index(cols, self.shape[1]):
             diag = jnp.take(diag, jnp.asarray(np.asarray(cols, dtype=np.int32)))
         if not is_jax_array(d_in):
             return DiagonalResult(np.asarray(diag))
@@ -403,7 +412,7 @@ class CategoricalMatrix(MatrixBase):
                 f"cat × cat cross-sandwich output would have {K1}×{K2} "
                 "entries; this is infeasible to densify."
             )
-        cached = self._cross_plans.get(id(other))
+        cached = self._cross_plans.get(other)
         if cached is None:
             e1, e2 = self._eff_codes_np, other._eff_codes_np
             from .. import _native
@@ -420,7 +429,7 @@ class CategoricalMatrix(MatrixBase):
                 uniq, inverse = np.unique(combined, return_inverse=True)
                 plan = build_plan(inverse.astype(np.int64), len(uniq))
             cached = (plan, uniq)
-            self._cross_plans[id(other)] = cached
+            self._cross_plans[other] = cached
         plan, uniq = cached
 
         d_dev = jnp.asarray(np.asarray(d) if not is_jax_array(d) else d)
@@ -601,8 +610,10 @@ class CategoricalMatrix(MatrixBase):
                 drop_first=self.drop_first,
                 dtype=self.dtype,
                 column_name=self._colname,
+                term_name=self._term,
                 column_name_format=self._colname_format,
                 cat_missing_method=self._missing_method,
+                cat_missing_name=self._missing_category,
             )
         # column subsetting loses the one-nonzero-per-row structure
         return self.to_sparse_matrix()[row, col]

@@ -28,7 +28,7 @@ from ..utils import (
     rows_to_mask,
     set_up_rows_or_cols,
 )
-from ..utils.validation import is_full_length
+from ..utils.validation import is_identity_index
 from .base import MatrixBase
 
 
@@ -186,7 +186,7 @@ class DenseMatrix(MatrixBase):
             None if rows is None else np.asarray(rows), self.shape[0], self.dtype
         )
         cols_np = None
-        if cols is not None and not is_full_length(cols, self.shape[1]):
+        if not is_identity_index(cols, self.shape[1]):
             cols_np = np.asarray(cols)
 
         S, k = dense_ops.sandwich_restricted(
@@ -266,7 +266,12 @@ class DenseMatrix(MatrixBase):
 
         n, k = self.shape
         unrestricted_rows = rows is None or len(rows) == n
-        unrestricted_cols = cols is None or len(cols) == k
+        # matvec sums over the cols SET (order-free); transpose_matvec's
+        # output is ORDERED by cols, so it needs the identity check
+        unrestricted_cols = (
+            is_identity_index(cols, k) if transpose
+            else cols is None or len(cols) == k
+        )
 
         if transpose:
             v_eff = vec

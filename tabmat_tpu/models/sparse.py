@@ -33,7 +33,7 @@ from ..utils import (
     rows_to_mask,
     set_up_rows_or_cols,
 )
-from ..utils.validation import is_full_length
+from ..utils.validation import is_full_length, is_identity_index
 from .base import MatrixBase
 
 # Width at which the sandwich stops using the densified device mirror.
@@ -344,7 +344,7 @@ class SparseMatrix(MatrixBase):
             S = _pair_sandwich_op(
                 pairprod_sorted, row_sorted, dm, bounds, self.shape[1]
             )
-            if cols is not None and not is_full_length(cols, self.shape[1]):
+            if not is_identity_index(cols, self.shape[1]):
                 c = np.asarray(cols)
                 if is_jax_array(d_in):
                     ci = jnp.asarray(c.astype(np.int32))
@@ -359,7 +359,7 @@ class SparseMatrix(MatrixBase):
                 None if rows is None else np.asarray(rows), self.shape[0], self.dtype
             )
             cols_np = None
-            if cols is not None and not is_full_length(cols, self.shape[1]):
+            if not is_identity_index(cols, self.shape[1]):
                 cols_np = np.asarray(cols)
             S, k = dense_ops.sandwich_restricted(
                 dense,
@@ -379,7 +379,7 @@ class SparseMatrix(MatrixBase):
         )
         dm = d_host if mask is None else d_host * mask
         A = self._array
-        if cols is not None and not is_full_length(cols, self.shape[1]):
+        if not is_identity_index(cols, self.shape[1]):
             A = A[:, np.asarray(cols)]
         S = (A.T @ A.multiply(dm[:, None])).toarray()
         return S
@@ -449,7 +449,7 @@ class SparseMatrix(MatrixBase):
                 res_full = sparse_ops.csc_rmatvec(data, row_idx, col_bounds, v_eff)
             else:
                 res_full = sparse_ops.csc_rmatmat(data, row_idx, col_bounds, v_eff)
-            if cols is None or is_full_length(cols, k):
+            if is_identity_index(cols, k):
                 if out is None:
                     return result_like(vec_in, res_full)
                 return add_into_out(out, res_full)

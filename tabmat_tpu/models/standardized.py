@@ -125,7 +125,10 @@ class StandardizedMatrix:
         res = res if is_jax_array(res) else np.asarray(res)
 
         rows_idx, cols_idx = setup_restrictions(self.shape, rows, cols)
-        other_sum = xp.sum(other[rows_idx], 0)
+        if rows is None or len(rows_idx) == self.shape[0]:
+            other_sum = xp.sum(other, 0)  # avoid the O(n) identity gather
+        else:
+            other_sum = xp.sum(other[rows_idx], 0)
 
         shift_part_tmp = xp.outer(xp.asarray(self.shift)[cols_idx], other_sum)
         output_shape = (
@@ -145,16 +148,17 @@ class StandardizedMatrix:
         if isinstance(out, np.ndarray):
             out[cols_idx] += np.asarray(res, dtype=out.dtype)
             return out
-        # jax out: scatter-free accumulation over the restricted columns
+        # jax out: scatter-free accumulation over the restricted columns via
+        # a host-precomputed gather map (missing positions hit a zero slot)
         if cols is None or len(cols_idx) == self.shape[1]:
             return out + res
-        full = jnp.zeros(out.shape, dtype=out.dtype)
-        # res corresponds to positions cols_idx of the output; build via
-        # a dense one-hot matmul on the tiny (k,) axis to avoid scatter.
-        onehot = jnp.asarray(
-            np.eye(out.shape[0], dtype=np.float64)[:, cols_idx]
+        index_map = np.full(out.shape[0], len(cols_idx), dtype=np.int64)
+        index_map[np.asarray(cols_idx)] = np.arange(len(cols_idx))
+        res_flat = jnp.reshape(res, (len(cols_idx),) + tuple(res.shape[1:]))
+        padded = jnp.concatenate(
+            [res_flat, jnp.zeros((1,) + tuple(res_flat.shape[1:]), res_flat.dtype)]
         )
-        return out + (onehot @ res).astype(out.dtype)
+        return out + jnp.take(padded, jnp.asarray(index_map), axis=0).astype(out.dtype)
 
     def sandwich(
         self,

@@ -134,8 +134,11 @@ def _slice_vector(v: jax.Array):
     return jnp.stack(slices), exp
 
 
-@jax.jit
-def matvec_cached(QX: jax.Array, eX: jax.Array, v: jax.Array) -> jax.Array:
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n",))
+def matvec_cached(QX: jax.Array, eX: jax.Array, v: jax.Array, n=None) -> jax.Array:
     """Exact ``X @ v`` from cached X slices.
 
     Contraction is over columns (k ≤ 256 keeps the f32 accumulation exact),
@@ -161,7 +164,8 @@ def matvec_cached(QX: jax.Array, eX: jax.Array, v: jax.Array) -> jax.Array:
     out = jnp.einsum(
         "pnq,pq->n", P, jnp.asarray(scales), preferred_element_type=jnp.float64
     )
-    return out * ev
+    out = out * ev
+    return out if n is None or n == n_pad else out[:n]
 
 
 @jax.jit

@@ -129,5 +129,24 @@ def _check_indexer(indexer):
 
 
 def is_full_length(indexer: Optional[np.ndarray], length: int) -> bool:
-    """True when a rows/cols restriction covers the whole axis (or is None)."""
+    """True when a rows/cols restriction covers the whole axis (or is None).
+
+    Sufficient for ROW restrictions: every core op reduces over rows, so a
+    full-length permutation is equivalent to no restriction (rows are
+    assumed unique, as in the reference — ``tabmat/dense_matrix.py:208``).
+    """
     return indexer is None or len(indexer) == length
+
+
+def is_identity_index(indexer: Optional[np.ndarray], length: int) -> bool:
+    """True when a COLUMN restriction is exactly the identity 0..length-1.
+
+    Column restrictions order the output, so a permuted full-length array is
+    NOT a no-op; order-sensitive call sites must use this stronger check.
+    """
+    if indexer is None:
+        return True
+    arr = np.asarray(indexer)
+    if len(arr) != length or arr[0] != 0 or arr[-1] != length - 1:
+        return False
+    return bool(np.array_equal(arr, np.arange(length, dtype=arr.dtype)))

@@ -129,3 +129,24 @@ def test_bool_routing():
     df = pd.DataFrame({"b": [True] * 90 + [False] * 10})
     X = tm.from_df(df)
     assert isinstance(X, tm.DenseMatrix)
+
+
+def test_cat_position_end_with_split_categorical():
+    """A below-threshold categorical split into dense+sparse parts must get
+    consistent global indices under cat_position='end' (regression)."""
+    rng = np.random.default_rng(5)
+    n = 200
+    values = rng.choice(["common", "rare1", "rare2"], n, p=[0.9, 0.05, 0.05])
+    df = pd.DataFrame(
+        {"num": rng.standard_normal(n), "c": pd.Categorical(values)}
+    )
+    X = tm.from_df(df, cat_threshold=4, cat_position="end")
+    assert X.shape == (n, 4)
+    arr = X.toarray()
+    names = X.column_names
+    assert names[0] == "num"
+    dummies = pd.get_dummies(df["c"]).to_numpy(dtype=float)
+    cats = sorted(df["c"].cat.categories)
+    for j, cat in enumerate(cats):
+        col = names.index(f"c[{cat}]")
+        np.testing.assert_allclose(arr[:, col], dummies[:, j], atol=1e-14)

@@ -194,3 +194,45 @@ def test_estimator_l1():
     ).fit(X, y)
     assert abs(est.coef_[0]) > 1.5
     assert np.all(np.abs(est.coef_[1:]) < 0.05)
+
+
+def test_intercept_not_penalized():
+    rng = np.random.default_rng(50)
+    n = 400
+    X = rng.standard_normal((n, 3))
+    y = 10.0 + X @ np.array([1.0, -1.0, 0.5])  # big intercept
+    est = tm.GeneralizedLinearRegressor(family="gaussian", l2=50.0, n_cg=50).fit(X, y)
+    # ridge shrinks slopes but must NOT shrink the intercept toward 0
+    assert abs(est.intercept_ - 10.0) < 0.2, est.intercept_
+
+    est_l1 = tm.GeneralizedLinearRegressor(
+        family="gaussian", l1=100.0, n_cg=50, max_iter=60
+    ).fit(X, y)
+    assert abs(est_l1.intercept_ - 10.0) < 0.5, est_l1.intercept_
+
+
+def test_gamma_family_correct_score():
+    rng = np.random.default_rng(51)
+    n = 5000
+    X = rng.standard_normal((n, 2)) * 0.4
+    beta_true = np.array([0.6, -0.3])
+    mu = np.exp(0.5 + X @ beta_true)
+    y = rng.gamma(shape=5.0, scale=mu / 5.0)  # gamma with mean mu
+    ones = np.column_stack([np.ones(n), X])
+    beta, _ = fit_glm(ones, y, family="gamma", max_iter=60, n_cg=40)
+    beta = np.asarray(beta)
+    np.testing.assert_allclose(beta, [0.5, 0.6, -0.3], atol=0.08)
+    # must differ from the Poisson fit on the same data
+    beta_pois, _ = fit_glm(ones, y, family="poisson", max_iter=60, n_cg=40)
+    assert not np.allclose(beta, np.asarray(beta_pois), atol=1e-6)
+
+
+def test_cg_no_nan_past_convergence():
+    rng = np.random.default_rng(52)
+    X = rng.standard_normal((500, 2))
+    y = X @ np.array([1.0, 2.0])
+    beta, _ = fit_glm(
+        X, y, family="gaussian", inner_precision="float64", n_cg=50, max_iter=30
+    )
+    assert np.all(np.isfinite(np.asarray(beta)))
+    np.testing.assert_allclose(np.asarray(beta), [1.0, 2.0], atol=1e-8)
