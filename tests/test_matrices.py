@@ -89,6 +89,22 @@ def cat_drop_missing_zero():
     )
 
 
+def dense_readonly():
+    arr = base_array("C")
+    arr.setflags(write=False)
+    return tm.DenseMatrix(arr)
+
+
+def dense_from_jax():
+    import jax.numpy as jnp
+
+    return tm.DenseMatrix(jnp.asarray(base_array()))
+
+
+def cat_from_values():
+    return tm.CategoricalMatrix(CATS[CODES])  # factorized from raw values
+
+
 def split_mat():
     return tm.SplitMatrix(
         [dense_C(), sparse_mat(), cat_mat()],
@@ -134,6 +150,9 @@ ZOO = [
     dense_C,
     dense_F,
     dense_1d,
+    dense_readonly,
+    dense_from_jax,
+    cat_from_values,
     sparse_mat,
     sparse_int64,
     cat_mat,
