@@ -263,6 +263,9 @@ class SplitMatrix(MatrixBase):
         """Block sandwich: per-block diagonal + pairwise cross terms."""
         d_np = d if hasattr(d, "dtype") else np.asarray(d)
         check_sandwich_compatible(self, d_np)
+        # upload the weights ONCE; per-block ops then reuse the device copy
+        # (host->device transfer is the dominant per-op cost on slow links)
+        d_dev = d_np if is_jax_array(d_np) else jnp.asarray(d_np)
 
         subset_cols_indices, subset_cols, n_cols = self._split_col_subsets(cols)
 
@@ -270,7 +273,7 @@ class SplitMatrix(MatrixBase):
         for i in range(len(self.indices)):
             idx_i = subset_cols_indices[i]
             mat_i = self.matrices[i]
-            res = mat_i.sandwich(d_np, rows, subset_cols[i])
+            res = mat_i.sandwich(d_dev, rows, subset_cols[i])
             if isinstance(res, DiagonalResult):
                 out[(idx_i, idx_i)] += np.asarray(res.diag)
             elif isinstance(res, sps.dia_matrix):
@@ -282,7 +285,7 @@ class SplitMatrix(MatrixBase):
                 idx_j = subset_cols_indices[j]
                 mat_j = self.matrices[j]
                 res = mat_i._cross_sandwich(
-                    mat_j, d_np, rows, subset_cols[i], subset_cols[j]
+                    mat_j, d_dev, rows, subset_cols[i], subset_cols[j]
                 )
                 res = np.asarray(res)
                 out[np.ix_(idx_i, idx_j)] = res
@@ -334,10 +337,12 @@ class SplitMatrix(MatrixBase):
         subset_cols_indices, subset_cols, n_cols = self._split_col_subsets(cols)
         out_dtype = np.result_type(self.dtype, v.dtype)
         use_np = not is_jax_array(v_in)
+        # single upload shared by every block op
+        v_dev = v if is_jax_array(v) else jnp.asarray(v)
 
         segments = []
         for idx, sub_cols, mat in zip(subset_cols_indices, subset_cols, self.matrices):
-            segments.append(mat.transpose_matvec(v, rows=rows, cols=sub_cols))
+            segments.append(mat.transpose_matvec(v_dev, rows=rows, cols=sub_cols))
 
         if use_np:
             out_is_none = out is None

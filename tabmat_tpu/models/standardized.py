@@ -178,8 +178,10 @@ class StandardizedMatrix:
             if cols is not None:
                 cols = setup_cols
 
-        term1 = self.mat.sandwich(d, rows, cols)
-        d_mat = np.asarray(self.mat.transpose_matvec(d, rows, cols))
+        # one upload of the weights, shared by the inner sandwich and tmv
+        d_dev = d if is_jax_array(d) else jnp.asarray(np.asarray(d))
+        term1 = self.mat.sandwich(d_dev, rows, cols)
+        d_mat = np.asarray(self.mat.transpose_matvec(d_dev, rows, cols))
         if self.mult is not None:
             limited_mult = self.mult[cols] if cols is not None else self.mult
             d_mat = d_mat * limited_mult
