@@ -105,6 +105,7 @@ def irls_step(
     l2: float = 0.0,
     inner_precision: str = "float32",
     penalty_scale=None,
+    offset=None,
 ) -> jax.Array:
     """One IRLS Newton step with a matrix-free CG inner solve.
 
@@ -122,6 +123,8 @@ def irls_step(
     mv, tmv = _make_mv_tmv(X)
 
     eta = mv(beta)
+    if offset is not None:
+        eta = eta + offset
     mu, w_irls, resid = _family_terms(family, eta, y)
     w = sample_weight * w_irls
     # penalty_scale (e.g. 0 on the intercept) keeps chosen coords unpenalized
@@ -195,6 +198,7 @@ def fista_epoch(
     l1: float = 0.0,
     l2: float = 0.0,
     penalty_scale=None,
+    offset=None,
 ) -> jax.Array:
     """``n_steps`` of FISTA for the elastic-net GLM objective (jittable).
 
@@ -211,6 +215,8 @@ def fista_epoch(
 
     def grad(b):
         eta = mv(b)
+        if offset is not None:
+            eta = eta + offset
         mu, _, resid = _family_terms(family, eta, y)
         return -tmv(sample_weight * resid) + l2 * ps * b
 
@@ -253,8 +259,15 @@ def fit_glm(
     l1: float = 0.0,
     inner_precision: str = "float32",
     penalty_scale=None,
+    offset=None,
+    P1=None,
+    P2=None,
 ):
     """Fit a GLM by IRLS; accepts numpy/jax arrays or a tabmat DenseMatrix.
+
+    ``offset`` adds a fixed term to the linear predictor (exposure logs
+    etc.).  ``P1``/``P2`` are per-feature penalty multipliers in glum's
+    convention: the effective penalties are ``l1·P1[j]`` and ``l2·P2[j]``.
 
     Returns (beta, n_iter).  Convergence: max |Δβ| < tol.
 
@@ -284,6 +297,21 @@ def fit_glm(
     beta = jnp.zeros(X.shape[1], dtype=X.dtype)
     if penalty_scale is not None:
         penalty_scale = jnp.asarray(np.asarray(penalty_scale), dtype=beta.dtype)
+    if P1 is not None or P2 is not None:
+        # glum-style per-feature multipliers fold into penalty_scale; when
+        # P1 and P2 differ the l1/l2 terms need separate scales — supported
+        # for the common case P1 == P2 (or only one penalty active)
+        base = penalty_scale if penalty_scale is not None else jnp.ones_like(beta)
+        if P1 is not None and P2 is not None and not np.array_equal(
+            np.asarray(P1), np.asarray(P2)
+        ) and l1 > 0 and l2 > 0:
+            raise NotImplementedError(
+                "distinct P1 and P2 with both l1 and l2 active are not yet supported"
+            )
+        pf = P1 if P1 is not None else P2
+        penalty_scale = base * jnp.asarray(np.asarray(pf), dtype=beta.dtype)
+    if offset is not None:
+        offset = jnp.asarray(np.asarray(offset), dtype=beta.dtype)
 
     if l1 > 0:
         # elastic net → FISTA epochs (IRLS can't handle the nonsmooth term)
@@ -303,7 +331,7 @@ def fit_glm(
             new_beta = fista_epoch(
                 X, y, sample_weight, beta, step,
                 family=family, n_steps=50, l1=l1, l2=l2,
-                penalty_scale=penalty_scale,
+                penalty_scale=penalty_scale, offset=offset,
             )
             delta = float(jnp.max(jnp.abs(new_beta - beta)))
             beta = new_beta
@@ -315,6 +343,7 @@ def fit_glm(
         new_beta = irls_step(
             X, y, sample_weight, beta, family=family, n_cg=n_cg, l2=l2,
             inner_precision=inner_precision, penalty_scale=penalty_scale,
+            offset=offset,
         )
         delta = float(jnp.max(jnp.abs(new_beta - beta)))
         beta = new_beta

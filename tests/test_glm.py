@@ -236,3 +236,48 @@ def test_cg_no_nan_past_convergence():
     )
     assert np.all(np.isfinite(np.asarray(beta)))
     np.testing.assert_allclose(np.asarray(beta), [1.0, 2.0], atol=1e-8)
+
+
+def test_offset_poisson_exposure():
+    """Classic exposure model: log(E[y]) = log(exposure) + X beta."""
+    rng = np.random.default_rng(60)
+    n = 4000
+    X = rng.standard_normal((n, 2)) * 0.3
+    exposure = rng.uniform(0.5, 4.0, n)
+    beta_true = np.array([0.5, -0.2])
+    y = rng.poisson(exposure * np.exp(X @ beta_true)).astype(float)
+    beta, _ = fit_glm(
+        X, y, family="poisson", offset=np.log(exposure), max_iter=50, n_cg=30
+    )
+    np.testing.assert_allclose(np.asarray(beta), beta_true, atol=0.08)
+    # without the offset the fit is biased
+    beta_no, _ = fit_glm(X, y, family="poisson", max_iter=50, n_cg=30)
+    assert not np.allclose(np.asarray(beta_no), beta_true, atol=0.02)
+
+
+def test_per_feature_penalties():
+    rng = np.random.default_rng(61)
+    n = 600
+    X = rng.standard_normal((n, 3))
+    y = X @ np.array([1.0, 1.0, 1.0]) + 0.01 * rng.standard_normal(n)
+    # penalize only feature 2 heavily
+    P2 = np.array([0.0, 0.0, 1.0])
+    beta, _ = fit_glm(X, y, family="gaussian", l2=200.0, P2=P2, n_cg=50)
+    beta = np.asarray(beta)
+    np.testing.assert_allclose(beta[:2], [1.0, 1.0], atol=0.02)
+    assert beta[2] < 0.8  # shrunk
+
+    # lasso equilibrium: beta ~ 1 - l1/(X.T X)_jj ~ 1 - l1/n
+    P1 = np.array([0.0, 1.0, 1.0])
+    beta_l1, _ = fit_glm(X, y, family="gaussian", l1=550.0, P1=P1, max_iter=60)
+    beta_l1 = np.asarray(beta_l1)
+    assert abs(beta_l1[0] - 1.0) < 0.05  # unpenalized feature intact
+    assert np.all(np.abs(beta_l1[1:]) < 0.3)  # penalized features shrunk
+
+
+def test_distinct_p1_p2_raises():
+    with pytest.raises(NotImplementedError):
+        fit_glm(
+            np.ones((4, 2)), np.ones(4), family="gaussian",
+            l1=1.0, l2=1.0, P1=np.array([1.0, 0.0]), P2=np.array([0.0, 1.0]),
+        )
