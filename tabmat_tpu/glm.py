@@ -22,7 +22,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FAMILIES = ("gaussian", "poisson", "logistic", "gamma")
+FAMILIES = ("gaussian", "poisson", "logistic", "gamma", "tweedie")
+
+
+def _parse_family(family: str):
+    """'tweedie(p)' → ('tweedie', p); other names pass through."""
+    if family.startswith("tweedie"):
+        if "(" in family:
+            power = float(family[family.index("(") + 1 : family.rindex(")")])
+        else:
+            power = 1.5
+        if not 1.0 < power < 2.0:
+            raise ValueError(
+                f"tweedie power must be in (1, 2), got {power}"
+            )
+        return "tweedie", power
+    return family, None
 
 
 def _family_terms(family: str, eta: jax.Array, y: jax.Array):
@@ -46,6 +61,13 @@ def _family_terms(family: str, eta: jax.Array, y: jax.Array):
         mu = jnp.exp(eta)
         w = jnp.ones_like(eta)
         return mu, w, (y - mu) / mu
+    elif family.startswith("tweedie"):
+        # compound Poisson-gamma with V(mu) = mu^p under the log link:
+        # Fisher weight mu^{2-p}, score Xᵀ((y - mu)·mu^{1-p})
+        _, power = _parse_family(family)
+        mu = jnp.exp(eta)
+        w = mu ** (2.0 - power)
+        return mu, w, (y - mu) * mu ** (1.0 - power)
     else:
         raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
     return mu, w, y - mu
@@ -317,9 +339,8 @@ def fit_glm(
         # elastic net → FISTA epochs (IRLS can't handle the nonsmooth term)
         mv, tmv = _make_mv_tmv(X)
         # Lipschitz bound of the smooth part: weight cap per family
-        w_cap = {"gaussian": 1.0, "logistic": 0.25, "poisson": None, "gamma": 1.0}[
-            family
-        ]
+        caps = {"gaussian": 1.0, "logistic": 0.25, "poisson": None, "gamma": 1.0}
+        w_cap = None if family.startswith("tweedie") else caps[family]
         w_est = sample_weight * (w_cap if w_cap is not None else 1.0)
         L = _power_iteration_lipschitz(
             mv, tmv, w_est, X.shape[1], beta.dtype
@@ -380,8 +401,10 @@ class GeneralizedLinearRegressor:
         inner_precision: str = "float32",
         formula: str = None,
     ):
-        if family not in FAMILIES:
+        if family not in FAMILIES and not family.startswith("tweedie"):
             raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
+        if family.startswith("tweedie"):
+            _parse_family(family)  # validates the power
         self.family = family
         self.l2 = l2
         self.l1 = l1
@@ -523,7 +546,7 @@ class GeneralizedLinearRegressor:
     def predict(self, X):
         """Mean prediction on the response scale."""
         eta = self.linear_predictor(X)
-        if self.family in ("poisson", "gamma"):
+        if self.family in ("poisson", "gamma") or self.family.startswith("tweedie"):
             return np.exp(eta)
         if self.family == "logistic":
             return 1 / (1 + np.exp(-eta))

@@ -281,3 +281,30 @@ def test_distinct_p1_p2_raises():
             np.ones((4, 2)), np.ones(4), family="gaussian",
             l1=1.0, l2=1.0, P1=np.array([1.0, 0.0]), P2=np.array([0.0, 1.0]),
         )
+
+
+def test_tweedie_recovers_coefficients():
+    rng = np.random.default_rng(70)
+    n = 6000
+    X = rng.standard_normal((n, 2)) * 0.3
+    beta_true = np.array([0.5, -0.3])
+    mu = np.exp(0.3 + X @ beta_true)
+    # compound poisson-gamma draw (tweedie p~1.5)
+    lam = mu ** 0.5 * 2
+    counts = rng.poisson(lam)
+    y = np.array([rng.gamma(2.0, m / (2.0 * max(c, 1) * 2) * c * 2) if c > 0 else 0.0
+                  for c, m in zip(counts, mu)])
+    ones = np.column_stack([np.ones(n), X])
+    beta, _ = fit_glm(ones, y, family="tweedie(1.5)", max_iter=60, n_cg=40)
+    beta = np.asarray(beta)
+    assert np.all(np.isfinite(beta))
+    # slope signs and magnitudes in the right ballpark
+    assert abs(beta[1] - 0.5) < 0.25 and abs(beta[2] + 0.3) < 0.25
+
+
+def test_tweedie_power_validation():
+    with pytest.raises(ValueError, match="power"):
+        fit_glm(np.ones((4, 1)), np.ones(4), family="tweedie(2.5)")
+    with pytest.raises(ValueError, match="Unknown family"):
+        tm.GeneralizedLinearRegressor(family="nope")
+    tm.GeneralizedLinearRegressor(family="tweedie(1.3)")  # ok
