@@ -30,3 +30,44 @@ def test_cli_smoke():
     assert result.exit_code == 0, result.output
     assert "tabmat_tpu" in result.output
     assert "numpy/scipy" in result.output
+
+
+def test_cli_memory_and_standardized():
+    runner = CliRunner()
+    result = runner.invoke(
+        run_all_benchmarks,
+        [
+            "--matrix_name", "dense",
+            "--scale", "0.0001",
+            "--n_iterations", "2",
+            "--bench_memory",
+            "--standardized",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert "peak_mem_bytes" in result.output
+
+
+def test_cli_csv_and_visualize(tmp_path):
+    runner = CliRunner()
+    csv_path = str(tmp_path / "out.csv")
+    result = runner.invoke(
+        run_all_benchmarks,
+        [
+            "--matrix_name", "dense,sparse",
+            "--scale", "0.0001",
+            "--n_iterations", "2",
+            "--include_baseline",
+            "--output", csv_path,
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    from tabmat_tpu.bench.visualize import load_results, plot_relative
+
+    rows = load_results(csv_path)
+    assert len(rows) == 12
+    png = str(tmp_path / "chart.png")
+    assert plot_relative(rows, png) == png
+    import os
+
+    assert os.path.getsize(png) > 10_000
