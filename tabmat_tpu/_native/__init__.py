@@ -155,9 +155,20 @@ def expand_pairs_csr(indptr: np.ndarray):
 
 
 def combine_codes(a: np.ndarray, b: np.ndarray, k2: int) -> np.ndarray:
-    """Combined categorical cross keys: a*k2+b where both valid, else -1."""
+    """Combined categorical cross keys: ``a*k2 + b`` where both valid, else -1.
+
+    Contract: returns int32 on both the native and numpy paths.  Callers must
+    guarantee ``max(a)*k2 + max(b) < 2**31`` (the cat×cat cross-sandwich
+    guards ``K1*K2 <= 2**31`` before calling); this is asserted here so a
+    silent wraparound can never produce wrong keys.
+    """
     a = np.ascontiguousarray(a, dtype=np.int32)
     b = np.ascontiguousarray(b, dtype=np.int32)
+    if len(a) and int(a.max()) * k2 + max(int(b.max()), 0) >= 2**31:
+        raise OverflowError(
+            f"combined categorical key space {int(a.max()) + 1}*{k2} exceeds "
+            "int32; reduce the category product below 2**31"
+        )
     lib = _load()
     if lib is not None:
         out = np.empty(len(a), dtype=np.int32)
@@ -169,6 +180,5 @@ def combine_codes(a: np.ndarray, b: np.ndarray, k2: int) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         return out
-    return np.where((a >= 0) & (b >= 0), a.astype(np.int64) * k2 + b, -1).astype(
-        np.int64
-    )
+    out = np.where((a >= 0) & (b >= 0), a.astype(np.int64) * k2 + b, -1)
+    return out.astype(np.int32)

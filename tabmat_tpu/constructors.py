@@ -67,28 +67,55 @@ def _split_sparse_and_dense_parts(
     return X_dense, X_sparse, dense_indices, sparse_indices
 
 
-def _reindex_cat(indices, cat_groups, mxcolidx):
-    """Shift categorical index blocks to the end of the column space.
+class _CatSlot:
+    """The span of output columns owned by one categorical dataframe column.
 
-    Entries sharing a group id (the dense+sparse parts of one split-up
-    categorical) carry indices into a COMMON within-category space and must
-    receive the same offset; the offset advances by the group's total width.
+    When a low-cardinality categorical is exploded into dense + sparse parts,
+    both parts index into the *same* slot via their ``local`` offsets; the
+    slot's ``base`` is therefore assigned once per original column.  With
+    ``cat_position='end'`` bases stay unresolved during the scan and are
+    handed out after all numeric columns have claimed theirs.
     """
-    new_indices = []
-    group_offsets = {}
-    group_sizes = {}
-    for mat_indices, gid in zip(indices, cat_groups):
-        if gid is not None:
-            group_sizes[gid] = group_sizes.get(gid, 0) + len(mat_indices)
-    for mat_indices, gid in zip(indices, cat_groups):
-        if gid is not None:
-            if gid not in group_offsets:
-                group_offsets[gid] = mxcolidx
-                mxcolidx += group_sizes[gid]
-            new_indices.append(np.asarray(mat_indices) + group_offsets[gid])
-        else:
-            new_indices.append(mat_indices)
-    return new_indices
+
+    __slots__ = ("width", "base")
+
+    def __init__(self, width: int):
+        self.width = width
+        self.base = None
+
+
+def _is_stringy(col) -> bool:
+    if isinstance(col.dtype, (nw.String, nw.Object)):
+        return True
+    if pd is not None and isinstance(nw.to_native(col).dtype, pd.StringDtype):
+        return True
+    return False
+
+
+def _encode_categorical_column(col, name, dtype, **cat_kwargs):
+    """One dataframe column -> list of (matrix, local_offsets) pieces.
+
+    High-cardinality columns become a single CategoricalMatrix piece; below
+    ``cat_threshold`` levels the one-hot expansion is rerouted through the
+    density splitter so near-constant indicator columns land in the sparse
+    part (reference behavior, ``tabmat/constructor.py:125-147``).
+    """
+    cat_threshold = cat_kwargs.pop("cat_threshold")
+    sparse_threshold = cat_kwargs.pop("sparse_threshold")
+    cat = CategoricalMatrix(
+        col, dtype=dtype, column_name=name, term_name=name, **cat_kwargs
+    )
+    if len(cat.categories) >= cat_threshold:
+        return [(cat, np.arange(cat.shape[1], dtype=np.int64))]
+    dense_part, sparse_part, dense_local, sparse_local = (
+        _split_sparse_and_dense_parts(
+            sps.csc_matrix(cat.tocsr(), dtype=dtype),
+            threshold=sparse_threshold,
+            column_names=cat.get_names("column"),
+            term_names=cat.get_names("term"),
+        )
+    )
+    return [(dense_part, dense_local), (sparse_part, sparse_local)]
 
 
 def from_df(
@@ -105,145 +132,106 @@ def from_df(
 ) -> MatrixBase:
     """Convert a dataframe (pandas, or anything narwhals supports) to a SplitMatrix.
 
-    Column routing matches the reference: categorical dtype →
-    CategoricalMatrix (one-hot split parts when the column has fewer than
-    ``cat_threshold`` levels); numeric/boolean → dense if density >
-    ``sparse_threshold`` else sparse; other dtypes are warned about and
-    skipped.  ``cat_position`` 'expand' keeps original order, 'end' moves
-    categorical columns to the end.
+    Column routing (same decisions as reference ``tabmat/constructor.py:29-212``):
+    categorical dtype → CategoricalMatrix (one-hot split parts when the column
+    has fewer than ``cat_threshold`` levels); numeric/boolean → dense if
+    density > ``sparse_threshold`` else sparse; other dtypes are warned about
+    and skipped.  ``cat_position`` 'expand' keeps original column order, 'end'
+    moves all categorical spans past the numeric columns.
     """
     if nw is None:
         raise ImportError("from_df requires narwhals (or pandas).")
     df = nw.from_native(df, eager_only=True)
 
-    matrices: list[Union[DenseMatrix, SparseMatrix, CategoricalMatrix]] = []
-    indices: list[np.ndarray] = []
-    cat_groups: list = []  # group id for categorical entries, else None
-    next_group = 0
+    cat_pieces: list = []  # (matrix, slot, local_offsets) in scan order
+    dense_route: list[tuple[int, int]] = []  # (df position, output column)
+    sparse_route: list[tuple[int, int]] = []
+    skipped: list[str] = []
+    cursor = 0  # next unclaimed output column (numeric-only when 'end')
 
-    dense_dfidx = []
-    dense_tmidx = []
-    sparse_dfidx = []
-    sparse_tmidx = []
-    ignored_cols = []
+    for df_pos, name in enumerate(df.columns):
+        col = df[:, df_pos]
+        if object_as_cat and _is_stringy(col):
+            col = col.cast(nw.Categorical)
 
-    mxcolidx = 0
-
-    for dfcolidx, colname in enumerate(df.columns):
-        coldata = df[:, dfcolidx]
-        if object_as_cat:
-            is_str = isinstance(coldata.dtype, (nw.String, nw.Object))
-            if not is_str and pd is not None:
-                is_str = isinstance(nw.to_native(coldata).dtype, pd.StringDtype)
-            if is_str:
-                coldata = coldata.cast(nw.Categorical)
-
-        # pandas sparse dtype is invisible to narwhals; special-case it
-        if pd is not None and isinstance(nw.to_native(coldata).dtype, pd.SparseDtype):
-            sparse_dfidx.append(dfcolidx)
-            sparse_tmidx.append(mxcolidx)
-            mxcolidx += 1
+        # narwhals reports pandas SparseDtype as plain numeric-ish; catch it
+        # before the dtype switch so the data never densifies
+        if pd is not None and isinstance(nw.to_native(col).dtype, pd.SparseDtype):
+            sparse_route.append((df_pos, cursor))
+            cursor += 1
             continue
 
-        if isinstance(coldata.dtype, (nw.Categorical, nw.Enum)):
-            cat = CategoricalMatrix(
-                coldata,
+        if isinstance(col.dtype, (nw.Categorical, nw.Enum)):
+            pieces = _encode_categorical_column(
+                col,
+                name,
+                dtype,
+                cat_threshold=cat_threshold,
+                sparse_threshold=sparse_threshold,
                 drop_first=drop_first,
-                dtype=dtype,
-                column_name=colname,
-                term_name=colname,
                 column_name_format=categorical_format,
                 cat_missing_method=cat_missing_method,
                 cat_missing_name=cat_missing_name,
             )
-            if len(cat.categories) < cat_threshold:
-                (
-                    X_dense,
-                    X_sparse,
-                    dense_idx,
-                    sparse_idx,
-                ) = _split_sparse_and_dense_parts(
-                    sps.csc_matrix(cat.tocsr(), dtype=dtype),
-                    threshold=sparse_threshold,
-                    column_names=cat.get_names("column"),
-                    term_names=cat.get_names("term"),
-                )
-                matrices.append(X_dense)
-                cat_groups.append(next_group)
-                matrices.append(X_sparse)
-                cat_groups.append(next_group)
-                next_group += 1
-                if cat_position == "expand":
-                    indices.append(mxcolidx + dense_idx)
-                    indices.append(mxcolidx + sparse_idx)
-                    mxcolidx += len(dense_idx) + len(sparse_idx)
-                elif cat_position == "end":
-                    indices.append(dense_idx)
-                    indices.append(sparse_idx)
-            else:
-                matrices.append(cat)
-                cat_groups.append(next_group)
-                next_group += 1
-                if cat_position == "expand":
-                    indices.append(mxcolidx + np.arange(cat.shape[1]))
-                    mxcolidx += cat.shape[1]
-                elif cat_position == "end":
-                    indices.append(np.arange(cat.shape[1]))
-        elif isinstance(coldata.dtype, nw.Boolean):
-            if (coldata != False).mean() <= sparse_threshold:  # noqa: E712
-                sparse_dfidx.append(dfcolidx)
-                sparse_tmidx.append(mxcolidx)
-            else:
-                dense_dfidx.append(dfcolidx)
-                dense_tmidx.append(mxcolidx)
-            mxcolidx += 1
-        elif coldata.dtype.is_numeric():
-            if (coldata != 0).mean() <= sparse_threshold:
-                sparse_dfidx.append(dfcolidx)
-                sparse_tmidx.append(mxcolidx)
-            else:
-                dense_dfidx.append(dfcolidx)
-                dense_tmidx.append(mxcolidx)
-            mxcolidx += 1
+            slot = _CatSlot(sum(len(loc) for _, loc in pieces))
+            if cat_position == "expand":
+                slot.base = cursor
+                cursor += slot.width
+            cat_pieces.extend((mat, slot, loc) for mat, loc in pieces)
+        elif isinstance(col.dtype, nw.Boolean) or col.dtype.is_numeric():
+            zero = False if isinstance(col.dtype, nw.Boolean) else 0
+            route = dense_route if (col != zero).mean() > sparse_threshold else sparse_route
+            route.append((df_pos, cursor))
+            cursor += 1
         else:
-            ignored_cols.append(colname)
+            skipped.append(name)
 
-    if len(ignored_cols) > 0:
+    if skipped:
         warnings.warn(
-            f"Columns {ignored_cols} were ignored. Make sure they have a valid dtype."
+            f"Columns {skipped} were ignored. Make sure they have a valid dtype."
         )
-    if dense_dfidx:
+    for _, slot, _ in cat_pieces:  # 'end': hand out deferred bases in scan order
+        if slot.base is None:
+            slot.base = cursor
+            cursor += slot.width
+
+    matrices: list[Union[DenseMatrix, SparseMatrix, CategoricalMatrix]] = []
+    out_cols: list[np.ndarray] = []
+    for mat, slot, local in cat_pieces:
+        matrices.append(mat)
+        out_cols.append(slot.base + np.asarray(local, dtype=np.int64))
+
+    if dense_route:
+        df_sel = [p for p, _ in dense_route]
+        names_sel = [df.columns[p] for p in df_sel]
         matrices.append(
             DenseMatrix(
-                df[:, dense_dfidx].to_numpy().astype(dtype, copy=False),
-                column_names=np.asarray(df.columns)[dense_dfidx],
-                term_names=np.asarray(df.columns)[dense_dfidx],
+                df[:, df_sel].to_numpy().astype(dtype, copy=False),
+                column_names=names_sel,
+                term_names=names_sel,
             )
         )
-        indices.append(np.asarray(dense_tmidx))
-        cat_groups.append(None)
-    if sparse_dfidx:
+        out_cols.append(np.asarray([c for _, c in dense_route], dtype=np.int64))
+    if sparse_route:
+        df_sel = [p for p, _ in sparse_route]
+        names_sel = [df.columns[p] for p in df_sel]
         native = nw.to_native(df)
         if pd is not None and isinstance(native, pd.DataFrame):
-            sparse_cols = native.iloc[:, sparse_dfidx]
+            raw = native.iloc[:, df_sel]  # keeps pandas SparseDtype columns sparse
         else:
-            sparse_cols = df[:, sparse_dfidx].to_numpy()
+            raw = df[:, df_sel].to_numpy()
         matrices.append(
             SparseMatrix(
-                sps.coo_matrix(sparse_cols, dtype=dtype),
+                sps.coo_matrix(raw, dtype=dtype),
                 dtype=dtype,
-                column_names=np.asarray(df.columns)[sparse_dfidx],
-                term_names=np.asarray(df.columns)[sparse_dfidx],
+                column_names=names_sel,
+                term_names=names_sel,
             )
         )
-        indices.append(np.asarray(sparse_tmidx))
-        cat_groups.append(None)
-
-    if cat_position == "end":
-        indices = _reindex_cat(indices, cat_groups, mxcolidx)
+        out_cols.append(np.asarray([c for _, c in sparse_route], dtype=np.int64))
 
     if len(matrices) > 1:
-        return SplitMatrix(matrices, indices)
+        return SplitMatrix(matrices, out_cols)
     elif len(matrices) == 0:
         raise ValueError("DataFrame contained no valid column")
     else:

@@ -72,41 +72,61 @@ def hstack(tup: Sequence) -> MatrixBase:
         return SplitMatrix(matrices)
 
 
-def _filter_out_empty(matrices, indices):
-    keep = [i for i, m in enumerate(matrices) if m.shape[1] > 0]
-    return [matrices[i] for i in keep], [indices[i] for i in keep]
+def _merge_group(blocks, col_lists):
+    """Fuse several same-typed blocks into one, re-sorted into global order.
 
-
-def _combine_matrices(matrices, indices):
-    """Merge all dense blocks into one and all sparse blocks into one.
-
-    Categorical blocks stay separate (each is a single term).  Mirrors
-    reference ``split_matrix.py:85-141``.
+    The fused block owns the union of the members' global columns; since each
+    member's column list is ascending but the union interleaves, the stacked
+    columns are permuted so the fused block's index array is ascending again.
+    Column/term names ride along through the permutation.
     """
-    for mat_type, stack_fn in [
-        (DenseMatrix, lambda mats: jnp.concatenate([m.unpack() for m in mats], axis=1)),
-        (SparseMatrix, lambda mats: sps.hstack([m.unpack() for m in mats])),
-    ]:
-        same_type = [i for i, m in enumerate(matrices) if isinstance(m, mat_type)]
-        if len(same_type) > 1:
-            stacked = mat_type(stack_fn([matrices[i] for i in same_type]))
-            new_indices = np.concatenate([indices[i] for i in same_type])
-            new_colnames = np.concatenate(
-                [np.array(matrices[i]._colnames, dtype=object) for i in same_type]
-            )
-            new_terms = np.concatenate(
-                [np.array(matrices[i]._terms, dtype=object) for i in same_type]
-            )
-            sorter = np.argsort(new_indices)
-            sorted_matrix = stacked[:, sorter]
-            sorted_matrix._colnames = new_colnames[sorter].tolist()
-            sorted_matrix._terms = new_terms[sorter].tolist()
+    stacked_cols = np.concatenate([np.asarray(c) for c in col_lists])
+    order = np.argsort(stacked_cols)
+    if isinstance(blocks[0], DenseMatrix):
+        wide = jnp.concatenate([b.unpack() for b in blocks], axis=1)
+        fused = DenseMatrix(wide[:, order])
+    else:
+        wide = sps.hstack([b.unpack() for b in blocks], format="csc")
+        fused = SparseMatrix(wide[:, order])
+    names = np.concatenate([np.asarray(b._colnames, dtype=object) for b in blocks])
+    terms = np.concatenate([np.asarray(b._terms, dtype=object) for b in blocks])
+    fused._colnames = names[order].tolist()
+    fused._terms = terms[order].tolist()
+    return fused, stacked_cols[order]
 
-            matrices[same_type[0]] = sorted_matrix
-            indices[same_type[0]] = new_indices[sorter]
-            matrices = [m for i, m in enumerate(matrices) if i not in same_type[1:]]
-            indices = [idx for i, idx in enumerate(indices) if i not in same_type[1:]]
-    return matrices, indices
+
+def _coalesce_blocks(blocks, col_lists):
+    """Drop zero-width blocks; fuse all dense blocks into one, ditto sparse.
+
+    Categorical blocks are never fused — each stands for a single model term
+    and its kernels are per-block.  The fused block takes the list position of
+    the group's first member.  (Same invariants as the reference's block
+    combination step, ``tabmat/split_matrix.py:85-141``, derived independently.)
+    """
+    kept = [
+        (b, c) for b, c in zip(blocks, col_lists, strict=True) if b.shape[1] > 0
+    ]
+    groups = {DenseMatrix: [], SparseMatrix: []}
+    for pos, (b, _) in enumerate(kept):
+        for klass, members in groups.items():
+            if isinstance(b, klass):
+                members.append(pos)
+    fuse_at = {}  # first-member position -> fused (block, cols)
+    absorbed = set()
+    for members in groups.values():
+        if len(members) > 1:
+            fuse_at[members[0]] = _merge_group(
+                [kept[p][0] for p in members], [kept[p][1] for p in members]
+            )
+            absorbed.update(members[1:])
+    out_blocks, out_cols = [], []
+    for pos, (b, c) in enumerate(kept):
+        if pos in absorbed:
+            continue
+        b, c = fuse_at.get(pos, (b, c))
+        out_blocks.append(b)
+        out_cols.append(c)
+    return out_blocks, out_cols
 
 
 def _place_segments(segments, positions, total_len, xp):
@@ -142,88 +162,102 @@ class SplitMatrix(MatrixBase):
         matrices: Sequence[MatrixBase],
         indices: Optional[list[np.ndarray]] = None,
     ):
-        flat_matrices = []
-        index_corrections = []
-        for mat in matrices:
-            if not isinstance(mat, MatrixBase):
+        blocks, default_cols = self._flatten_inputs(matrices)
+        self._validate_blocks(blocks)
+        self.dtype = blocks[0].dtype
+
+        if indices is None:
+            block_cols = default_cols
+            n_col = int(sum(len(c) for c in block_cols))
+        else:
+            block_cols = [np.asarray(ix, dtype=np.int64) for ix in indices]
+            n_col = self._validate_cols(blocks, block_cols)
+
+        self.matrices, kept_cols = _coalesce_blocks(blocks, block_cols)
+        self.indices = [np.asarray(c, dtype=np.int64) for c in kept_cols]
+        self.shape = (blocks[0].shape[0], n_col)
+        assert self.shape[1] > 0
+
+    @staticmethod
+    def _flatten_inputs(matrices):
+        """Flatten any nested SplitMatrix inputs into leaf blocks.
+
+        Returns the leaf blocks plus the default global-column assignment:
+        each top-level entry claims the next contiguous span of columns, and a
+        nested split's leaves keep their relative layout inside that span.
+        """
+        blocks: list[MatrixBase] = []
+        default_cols: list[np.ndarray] = []
+        cursor = 0
+        for entry in matrices:
+            if not isinstance(entry, MatrixBase):
                 raise ValueError(
                     "Expected all elements of matrices to be subclasses of MatrixBase."
                 )
-            if isinstance(mat, SplitMatrix):
-                # flatten nested splits, remembering their internal order
-                current_idx = 0
-                for iind, imat in zip(mat.indices, mat.matrices):
-                    flat_matrices.append(imat)
-                    index_corrections.append(
-                        iind - np.arange(len(iind), dtype=np.int64) - current_idx
-                    )
-                    current_idx += len(iind)
+            if isinstance(entry, SplitMatrix):
+                for leaf, leaf_cols in zip(entry.matrices, entry.indices):
+                    blocks.append(leaf)
+                    default_cols.append(cursor + np.asarray(leaf_cols, np.int64))
+                cursor += entry.shape[1]
             else:
-                flat_matrices.append(mat)
-                width = 1 if len(mat.shape) == 1 else mat.shape[1]
-                index_corrections.append(np.zeros(width, dtype=np.int64))
+                width = entry.shape[1] if entry.ndim > 1 else 1
+                blocks.append(entry)
+                default_cols.append(np.arange(cursor, cursor + width, dtype=np.int64))
+                cursor += width
+        return blocks, default_cols
 
-        self.dtype = flat_matrices[0].dtype
-        n_row = flat_matrices[0].shape[0]
-        for i, mat in enumerate(flat_matrices):
-            if mat.dtype != self.dtype:
+    @staticmethod
+    def _validate_blocks(blocks):
+        """Shared-shape and dtype checks; promote 1-d blocks to columns."""
+        n_row = blocks[0].shape[0]
+        ref_dtype = blocks[0].dtype
+        for i, blk in enumerate(blocks):
+            if blk.dtype != ref_dtype:
                 warnings.warn(
                     "Matrices do not all have the same dtype. Dtypes are "
-                    f"{[elt.dtype for elt in flat_matrices]}."
+                    f"{[elt.dtype for elt in blocks]}."
                 )
-            if mat.shape[0] != n_row:
+            if blk.shape[0] != n_row:
                 raise ValueError(
                     "All matrices should have the same first dimension, "
                     f"but the first matrix has first dimension {n_row} and "
-                    f"matrix {i} has first dimension {mat.shape[0]}."
+                    f"matrix {i} has first dimension {blk.shape[0]}."
                 )
-            if mat.ndim == 1:
-                flat_matrices[i] = mat[:, np.newaxis]
-            elif mat.ndim > 2:
+            if blk.ndim == 1:
+                blocks[i] = blk[:, np.newaxis]
+            elif blk.ndim > 2:
                 raise ValueError("All matrices should be at most two dimensional.")
 
-        if indices is None:
-            indices = []
-            current_idx = 0
-            for mat, corr in zip(flat_matrices, index_corrections):
-                indices.append(
-                    np.arange(current_idx, current_idx + mat.shape[1], dtype=np.int64)
-                    + corr
-                )
-                current_idx += mat.shape[1]
-            n_col = current_idx
-        else:
-            all_indices = np.concatenate(indices)
-            n_col = len(all_indices)
-            if (np.arange(n_col, dtype=np.int64) != np.sort(all_indices)).any():
+    @staticmethod
+    def _validate_cols(blocks, block_cols):
+        """Check an explicit column assignment; returns the column count.
+
+        The concatenated assignment must be a permutation of ``0..n_col-1``
+        and each block's piece must be ascending (kernels and name plumbing
+        rely on ascending per-block columns).
+        """
+        from .. import _native
+
+        flat = np.concatenate(block_cols)
+        n_col = len(flat)
+        if not np.array_equal(np.sort(flat), np.arange(n_col, dtype=flat.dtype)):
+            raise ValueError(
+                "Indices should contain all integers from 0 to one less than "
+                "the number of columns."
+            )
+        for i, cols in enumerate(block_cols):
+            if not _native.is_sorted(cols):
                 raise ValueError(
-                    "Indices should contain all integers from 0 to one less than "
-                    "the number of columns."
+                    f"Each index block should be sorted, but indices[{i}] was "
+                    "not sorted"
                 )
-            from .. import _native
-
-            for i in range(len(indices)):
-                indices[i] = np.asarray(indices[i])
-                if not _native.is_sorted(indices[i]):
-                    raise ValueError(
-                        f"Each index block should be sorted, but indices[{i}] was "
-                        "not sorted"
-                    )
-
-        for i, (mat, idx) in enumerate(zip(flat_matrices, indices)):
-            if mat.shape[1] != len(idx):
+        for i, (blk, cols) in enumerate(zip(blocks, block_cols)):
+            if blk.shape[1] != len(cols):
                 raise ValueError(
-                    f"Element {i} of indices should should have length "
-                    f"{mat.shape[1]}, but it has shape {np.asarray(idx).shape}"
+                    f"Length mismatch: block {i} has {blk.shape[1]} columns but "
+                    f"its index array has shape {cols.shape}"
                 )
-
-        filtered_mats, filtered_idxs = _filter_out_empty(flat_matrices, indices)
-        combined, combined_idx = _combine_matrices(filtered_mats, filtered_idxs)
-
-        self.matrices = combined
-        self.indices = [np.asarray(elt, dtype=np.int64) for elt in combined_idx]
-        self.shape = (n_row, int(n_col))
-        assert self.shape[1] > 0
+        return n_col
 
     # -- restriction plumbing --------------------------------------------
 
