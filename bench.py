@@ -18,6 +18,7 @@ Prints ONE JSON line:
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -25,6 +26,13 @@ import numpy as np
 N_RING = 6  # distinct operand vectors rotated through the timed loop
 # TABMAT_TPU_BENCH_SCALE shrinks row counts (used by the smoke test)
 SCALE = float(os.environ.get("TABMAT_TPU_BENCH_SCALE", "1.0"))
+
+_T0 = time.time()
+
+
+def _note(msg):
+    """Progress marker on stderr (the driver reads only the stdout JSON)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _timeit_ring(make_call, args_ring, n_rounds=4):
@@ -84,14 +92,17 @@ def main():
         _timeit_ring(lambda d: dm.sandwich(d), d_ring),
         _timeit_host(lambda: (X_np * d_np[:, None]).T @ X_np, 3),
     )
+    _note("dense_sandwich done: %s" % (results["dense_sandwich"],))
     results["dense_matvec"] = (
         _timeit_ring(lambda v: dm.matvec(v), v_ring),
         _timeit_host(lambda: X_np @ v_np),
     )
+    _note("dense_matvec done: %s" % (results["dense_matvec"],))
     results["dense_tmv"] = (
         _timeit_ring(lambda v: dm.transpose_matvec(v), vr_ring),
         _timeit_host(lambda: X_np.T @ vr_np),
     )
+    _note("dense_tmv done: %s" % (results["dense_tmv"],))
 
     # accuracy spot-check on device (fp64 parity bar)
     S = np.asarray(dm.sandwich(d_ring[0]))
@@ -112,14 +123,17 @@ def main():
         _timeit_ring(lambda d: cm.sandwich(d).diag, d_ring),
         _timeit_host(lambda: (C_csr.multiply(d_np[:, None]).T @ C_csr), 3),
     )
+    _note("cat_sandwich done: %s" % (results["cat_sandwich"],))
     results["cat_matvec"] = (
         _timeit_ring(lambda v: cm.matvec(v), vc_ring),
         _timeit_host(lambda: C_csr @ vc_np),
     )
+    _note("cat_matvec done: %s" % (results["cat_matvec"],))
     results["cat_tmv"] = (
         _timeit_ring(lambda v: cm.transpose_matvec(v), vr_ring),
         _timeit_host(lambda: C_csc.T @ vr_np),
     )
+    _note("cat_tmv done: %s" % (results["cat_tmv"],))
 
     # ---------------- sparse 400k x 100 @ 1% ----------------
     ns, ks = max(int(400_000 * SCALE), 512), 100
@@ -136,14 +150,17 @@ def main():
         _timeit_ring(lambda d: sm.sandwich(d), ds_ring),
         _timeit_host(lambda: (S_sp.T @ S_sp.multiply(ds_np[:, None])).toarray(), 3),
     )
+    _note("sparse_sandwich done: %s" % (results["sparse_sandwich"],))
     results["sparse_matvec"] = (
         _timeit_ring(lambda v: sm.matvec(v), vs_ring),
         _timeit_host(lambda: S_csr @ vs_np),
     )
+    _note("sparse_matvec done: %s" % (results["sparse_matvec"],))
     results["sparse_tmv"] = (
         _timeit_ring(lambda v: sm.transpose_matvec(v), vrs_ring),
         _timeit_host(lambda: S_sp.T @ vrs_np),
     )
+    _note("sparse_tmv done: %s" % (results["sparse_tmv"],))
 
     # ---------------- end-to-end GLM IRLS step (fused program) ----------------
     from tabmat_tpu.glm import irls_step
@@ -182,6 +199,8 @@ def main():
         ),
         _timeit_host(lambda: glm_step_np(np.asarray(beta_ring[0])), 3),
     )
+
+    _note("glm_irls_step done: %s" % (results["glm_irls_step"],))
 
     # ------- end-to-end GLM IRLS step on a mixed split design -------
     # (1M x (5 dense + 1k cat + 1k cat): the dense_cat benchmark shape as a
@@ -248,6 +267,8 @@ def main():
         ),
         _timeit_host(lambda: split_step_np(np.asarray(beta2_ring[0])), 3),
     )
+
+    _note("glm_irls_step_mixed done: %s" % (results["glm_irls_step_mixed"],))
 
     ours = np.array([v[0] for v in results.values()])
     base = np.array([v[1] for v in results.values()])

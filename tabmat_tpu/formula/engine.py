@@ -59,6 +59,23 @@ class NumericSlot:
 
 
 @dataclass
+class MultiNumericSlot:
+    """A multi-column numeric factor (``poly()``, ``bs()`` bases).
+
+    ``labels`` are the per-column suffix labels; output column names are
+    ``f"{name}[{label}]"`` (the formulaic convention for basis factors).
+    """
+
+    values: np.ndarray  # (n, k)
+    labels: list  # k suffixes
+    name: str
+
+    @property
+    def column_names(self) -> list:
+        return [f"{self.name}[{lb}]" for lb in self.labels]
+
+
+@dataclass
 class CategoricalSlot:
     """A categorical column with sentinel codes (-1 missing, -2 drop)."""
 
@@ -70,6 +87,8 @@ class CategoricalSlot:
 
 def interact(left, right, separator=":"):
     """Interact two slots (order-preserving names)."""
+    if isinstance(left, MultiNumericSlot) or isinstance(right, MultiNumericSlot):
+        return _interact_multi(left, right, separator)
     if isinstance(left, NumericSlot) and isinstance(right, NumericSlot):
         return NumericSlot(
             left.values * right.values, f"{left.name}{separator}{right.name}"
@@ -106,6 +125,44 @@ def interact(left, right, separator=":"):
     )
 
 
+def _interact_multi(left, right, separator):
+    """Interactions involving a multi-column numeric basis factor.
+
+    numeric × multi and multi × multi cross every column pair
+    (left-fastest ordering, consistent with the categorical algebra).
+    Basis × categorical interactions are not supported (the reference's
+    formulaic backend spreads these into per-column model terms; out of
+    scope here — raise a clear error instead of silently mis-encoding).
+    """
+    if isinstance(left, CategoricalSlot) or isinstance(right, CategoricalSlot):
+        raise NotImplementedError(
+            "Interactions between basis factors (poly/bs) and categorical "
+            "factors are not supported."
+        )
+    lv = left.values if left.values.ndim == 2 else left.values[:, None]
+    rv = right.values if right.values.ndim == 2 else right.values[:, None]
+    llabels = (
+        left.column_names if isinstance(left, MultiNumericSlot) else [left.name]
+    )
+    rlabels = (
+        right.column_names if isinstance(right, MultiNumericSlot) else [right.name]
+    )
+    cols = []
+    labels = []
+    for j in range(rv.shape[1]):
+        for i in range(lv.shape[1]):
+            cols.append(lv[:, i] * rv[:, j])
+            labels.append(f"{llabels[i]}{separator}{rlabels[j]}")
+    out = MultiNumericSlot(
+        values=np.column_stack(cols),
+        labels=labels,
+        name=f"{left.name}{separator}{right.name}",
+    )
+    # labels are already full column names; mark so conversion skips wrapping
+    out._labels_are_full_names = True
+    return out
+
+
 # ----------------------------------------------------------------------
 # factor evaluation
 # ----------------------------------------------------------------------
@@ -115,14 +172,28 @@ def interact(left, right, separator=":"):
 class FactorState:
     """Remembered encoding state for out-of-sample re-materialization."""
 
-    kind: str  # 'numeric' | 'categorical'
+    kind: str  # 'numeric' | 'categorical' | 'poly' | 'bs'
     categories: Optional[list] = None  # raw levels (categorical only)
     spans_intercept: bool = True
+    # categorical: training data had missings converted to a named category
+    add_missing_category: bool = False
+    missing_method: Optional[str] = None  # per-factor override via C()
+    missing_name: Optional[str] = None
+    # poly (orthogonal): three-term recurrence coefficients from training
+    poly_alpha: Optional[np.ndarray] = None
+    poly_norm2: Optional[np.ndarray] = None
+    # bs: full knot vector (with boundary repeats) + degree from training
+    bs_knots: Optional[np.ndarray] = None
+    bs_degree: Optional[int] = None
 
 
-def _parse_C_call(expr: str):
-    """Split a ``C(...)`` factor into (inner_expression, kwargs_src)."""
-    inner = expr[2:-1]
+def _split_call(expr: str, fname: str):
+    """Split ``fname(arg0, arg1, key=val, ...)`` into (arg0_src, args, kwargs).
+
+    Arguments are source strings split at top-level commas; the caller
+    evaluates them as needed.
+    """
+    inner = expr[len(fname) + 1 : -1]
     depth = 0
     parts = []
     start = 0
@@ -136,13 +207,111 @@ def _parse_C_call(expr: str):
             start = i + 1
     parts.append(inner[start:])
     data_expr = parts[0].strip()
+    args = []
     kwargs = {}
     for p in parts[1:]:
-        if "=" not in p:
-            raise ValueError(f"Unsupported positional argument in C(): {p!r}")
-        key, val = p.split("=", 1)
-        kwargs[key.strip()] = val.strip()
+        eq = p.find("=")
+        # a top-level '=' not part of '==' marks a keyword argument
+        if eq > 0 and (eq + 1 >= len(p) or p[eq + 1] != "=") and p[eq - 1] not in "<>!":
+            kwargs[p[:eq].strip()] = p[eq + 1 :].strip()
+        else:
+            args.append(p.strip())
+    return data_expr, args, kwargs
+
+
+def _parse_C_call(expr: str):
+    """Split a ``C(...)`` factor into (inner_expression, kwargs_src)."""
+    data_expr, args, kwargs = _split_call(expr, "C")
+    if args:
+        raise ValueError(f"Unsupported positional argument in C(): {args[0]!r}")
     return data_expr, kwargs
+
+
+# ----------------------------------------------------------------------
+# basis transforms: poly() and bs()
+# ----------------------------------------------------------------------
+
+
+def _poly_orthogonal(x: np.ndarray, degree: int, state: Optional[FactorState]):
+    """R-style orthogonal polynomial basis via the three-term recurrence.
+
+    Training computes the recurrence coefficients (``alpha``, ``norm2``)
+    with a QR factorization of the Vandermonde matrix (what R's ``poly``
+    and formulaic's ``poly`` do); prediction re-evaluates the recurrence
+    with the remembered coefficients so out-of-sample columns line up.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if state is not None and state.poly_alpha is not None:
+        alpha, norm2 = state.poly_alpha, state.poly_norm2
+    else:
+        if degree >= len(np.unique(x)):
+            raise ValueError(
+                "'degree' must be less than the number of unique points."
+            )
+        V = np.vander(x, degree + 1, increasing=True)
+        Q, R = np.linalg.qr(V)
+        # raw (unnormalized) orthogonal columns and their squared norms
+        Z = Q * np.diag(R)
+        norm2 = np.concatenate([[1.0], (Z * Z).sum(axis=0)])
+        alpha = (x[:, None] * Z * Z).sum(axis=0)[:degree] / norm2[1 : degree + 1]
+    # evaluate p_0..p_degree with the recurrence, then normalize
+    n = len(x)
+    Z = np.empty((n, degree + 1))
+    Z[:, 0] = 1.0
+    if degree >= 1:
+        Z[:, 1] = x - alpha[0]
+    for k in range(1, degree):
+        Z[:, k + 1] = (x - alpha[k]) * Z[:, k] - (
+            norm2[k + 1] / norm2[k]
+        ) * Z[:, k - 1]
+    Z = Z / np.sqrt(norm2[1:])
+    return Z[:, 1:], alpha, norm2
+
+
+def _eval_poly(x, args, kwargs, state: Optional[FactorState]):
+    """poly(x, degree, raw=False) → (values (n, degree), alpha, norm2)."""
+    degree = int(args[0]) if args else int(kwargs.get("degree", 1))
+    raw = kwargs.get("raw", "False") in ("True", "true", "1")
+    x = np.asarray(x, dtype=np.float64)
+    if raw:
+        vals = np.column_stack([x**p for p in range(1, degree + 1)])
+        return vals, None, None
+    return _poly_orthogonal(x, degree, state)
+
+
+def _eval_bs(x, args, kwargs, state: Optional[FactorState]):
+    """bs(x, df, degree=3) → B-spline basis (n, df) via Cox–de Boor.
+
+    Training places ``df - degree`` internal knots at quantiles of ``x``
+    (formulaic/patsy convention, no intercept column); prediction reuses
+    the remembered knot vector.
+    """
+    from scipy.interpolate import BSpline
+
+    x = np.asarray(x, dtype=np.float64)
+    if state is not None and state.bs_knots is not None:
+        knots, degree = state.bs_knots, state.bs_degree
+    else:
+        degree = int(kwargs.get("degree", 3))
+        df = int(args[0]) if args else int(kwargs.get("df", degree))
+        if df < degree:
+            raise ValueError(f"bs() requires df >= degree, got df={df}.")
+        n_internal = df - degree
+        if n_internal > 0:
+            qs = np.linspace(0, 1, n_internal + 2)[1:-1]
+            internal = np.quantile(x, qs)
+        else:
+            internal = np.array([])
+        lo, hi = float(np.min(x)), float(np.max(x))
+        knots = np.concatenate(
+            [[lo] * (degree + 1), internal, [hi] * (degree + 1)]
+        )
+    n_basis = len(knots) - degree - 1
+    design = BSpline.design_matrix(
+        np.clip(x, knots[0], knots[-1]), knots, degree, extrapolate=False
+    ).toarray()
+    # drop the first (intercept-spanning) column: bs() returns df columns
+    return design[:, 1:n_basis], knots, degree
 
 
 class _Evaluator:
@@ -190,7 +359,7 @@ class _Evaluator:
         return False
 
     def eval_factor(self, expr: str, cat_missing_method: str, cat_missing_name: str):
-        """Evaluate one factor expression → NumericSlot or CategoricalSlot."""
+        """Evaluate one factor expression → Numeric/MultiNumeric/Categorical slot."""
         spans_intercept = True
         levels = None
 
@@ -200,10 +369,42 @@ class _Evaluator:
                 levels = list(eval(kwargs["levels"], {"__builtins__": {}}, {"np": np}))  # noqa: S307
             if "spans_intercept" in kwargs:
                 spans_intercept = kwargs["spans_intercept"] == "True"
+            # per-factor missing handling (reference formula.py:670-711)
+            if "missing_method" in kwargs:
+                cat_missing_method = kwargs["missing_method"].strip("\"'")
+            if "missing_name" in kwargs:
+                cat_missing_name = kwargs["missing_name"].strip("\"'")
             col = self._column(data_expr)
             values = col if col is not None else self._eval_python(data_expr)
             return self._encode_categorical(
                 expr, values, levels, spans_intercept, cat_missing_method, cat_missing_name
+            )
+
+        if (expr.startswith("poly(") or expr.startswith("bs(")) and expr.endswith(")"):
+            fname = "poly" if expr.startswith("poly(") else "bs"
+            data_expr, args, kwargs = _split_call(expr, fname)
+            col = self._column(data_expr)
+            if col is not None:
+                x = np.asarray(col.to_numpy(), dtype=np.float64)
+            else:
+                x = np.asarray(self._eval_python(data_expr), dtype=np.float64)
+            prior = self.state.get(expr) if self.use_state else None
+            if fname == "poly":
+                vals, alpha, norm2 = _eval_poly(x, args, kwargs, prior)
+                if not self.use_state:
+                    self.state[expr] = FactorState(
+                        kind="poly", poly_alpha=alpha, poly_norm2=norm2
+                    )
+            else:
+                vals, knots, degree = _eval_bs(x, args, kwargs, prior)
+                if not self.use_state:
+                    self.state[expr] = FactorState(
+                        kind="bs", bs_knots=knots, bs_degree=degree
+                    )
+            return MultiNumericSlot(
+                values=vals,
+                labels=[str(i + 1) for i in range(vals.shape[1])],
+                name=expr,
             )
 
         col = self._column(expr)
@@ -233,66 +434,118 @@ class _Evaluator:
             values = values.reshape(-1)
         return NumericSlot(values, expr)
 
+    @staticmethod
+    def _is_missing(val) -> bool:
+        if val is None or (isinstance(val, float) and val != val):
+            return True
+        if pd is not None and val is pd.NA:
+            return True
+        return False
+
     def _encode_categorical(
         self, expr, values, levels, spans_intercept, missing_method, missing_name
     ):
         if self.use_state and expr in self.state:
             st = self.state[expr]
-            cats = np.asarray(st.categories, dtype=object)
             spans_intercept = st.spans_intercept
+            missing_method = st.missing_method or missing_method
+            missing_name = st.missing_name or missing_name
+            categories = list(st.categories)
             raw = self._raw_values(values)
-            lookup = {c: i for i, c in enumerate(cats)}
+            lookup = {c: i for i, c in enumerate(categories)}
+            if st.add_missing_category:
+                # training converted missings; live categories exclude the
+                # missing column which is appended below
+                lookup.pop(missing_name, None)
+                live = [c for c in categories if c != missing_name]
+                lookup = {c: i for i, c in enumerate(live)}
             codes = np.full(len(raw), -1, dtype=np.int64)
-            unseen = []
+            unseen = set()
+            has_missing = False
             for i, val in enumerate(raw):
-                if val is None or (isinstance(val, float) and val != val):
+                if self._is_missing(val):
+                    has_missing = True
                     continue
-                code = lookup.get(val)
+                key = str(val) if not isinstance(val, str) else val
+                code = lookup.get(val, lookup.get(key))
                 if code is None:
-                    unseen.append(val)
+                    unseen.add(str(val))
                 else:
                     codes[i] = code
             if unseen:
                 raise ValueError(
-                    f"Categorical factor {expr!r} has unseen categories: "
-                    f"{sorted(set(map(str, unseen)))[:5]}"
+                    f"Column {expr!r} contains unseen categories: {sorted(unseen)}."
                 )
-            categories = list(cats)
+            if has_missing:
+                if st.add_missing_category:
+                    codes[codes == -1] = len(lookup)
+                elif missing_method == "fail":
+                    raise ValueError(
+                        "Categorical data can't have missing values "
+                        "if cat_missing_method='fail'."
+                    )
+                elif missing_method == "convert":
+                    # training saw no missings, so there is no missing column
+                    raise ValueError(
+                        f"Column {expr!r} contains unseen categories: "
+                        f"[{missing_name!r}]."
+                    )
+                # 'zero': -1 codes stay and yield all-zero rows
         else:
             if levels is not None:
                 raw = self._raw_values(values)
+                # numeric data with declared levels: compare as strings
+                # (reference formula.py:714-780 casts both sides)
+                if np.asarray(raw).dtype.kind in "ifu":
+                    raw = [None if self._is_missing(v) else str(v) for v in raw]
+                    levels = [str(lv) for lv in levels]
                 lookup = {c: i for i, c in enumerate(levels)}
-                codes = np.array(
-                    [
-                        lookup.get(v, -1)
-                        if not (v is None or (isinstance(v, float) and v != v))
-                        else -1
-                        for v in raw
-                    ],
-                    dtype=np.int64,
-                )
+                codes = np.empty(len(raw), dtype=np.int64)
+                unseen = set()
+                for i, v in enumerate(raw):
+                    if self._is_missing(v):
+                        codes[i] = -1
+                    else:
+                        code = lookup.get(v)
+                        if code is None:
+                            unseen.add(str(v))
+                            codes[i] = -1
+                        else:
+                            codes[i] = code
+                if unseen:
+                    raise ValueError(
+                        f"Column {expr!r} contains unseen categories: "
+                        f"{sorted(unseen)}."
+                    )
                 categories = list(levels)
             else:
                 codes, cats = _extract_codes_and_categories(values)
                 codes = codes.astype(np.int64)
                 categories = list(cats)
+
+            add_missing = missing_method == "convert" and bool((codes == -1).any())
             self.state[expr] = FactorState(
                 kind="categorical",
-                categories=list(categories),
+                categories=list(categories)
+                + ([missing_name] if add_missing else []),
                 spans_intercept=spans_intercept,
+                add_missing_category=add_missing,
+                missing_method=missing_method,
+                missing_name=missing_name,
             )
-
-        if missing_method == "fail" and (codes == -1).any():
-            raise ValueError(
-                "Categorical data can't have missing values "
-                "if cat_missing_method='fail'."
-            )
-        if missing_method == "convert" and (codes == -1).any():
-            if missing_name in categories:
-                raise ValueError(f"Missing category {missing_name} already exists.")
-            codes = np.where(codes == -1, len(categories), codes)
-            categories = categories + [missing_name]
-        # 'zero': leave -1 codes; they produce all-zero rows downstream
+            if missing_method == "fail" and (codes == -1).any():
+                raise ValueError(
+                    "Categorical data can't have missing values "
+                    "if cat_missing_method='fail'."
+                )
+            if add_missing:
+                if missing_name in categories:
+                    raise ValueError(
+                        f"Missing category {missing_name} already exists."
+                    )
+                codes = np.where(codes == -1, len(categories), codes)
+                categories = categories + [missing_name]
+            # 'zero': leave -1 codes; they produce all-zero rows downstream
 
         slot = CategoricalSlot(
             codes=codes,
@@ -344,6 +597,23 @@ def _numeric_to_matrix(slot: NumericSlot, dtype, sparse_threshold):
         sps.csc_matrix(values.reshape(-1, 1)),
         column_names=[slot.name],
         term_names=[slot.name],
+    )
+
+
+def _multi_to_matrix(slot: MultiNumericSlot, dtype, sparse_threshold):
+    """Convert a basis factor (poly/bs) to dense or sparse columns."""
+    values = slot.values.astype(dtype)
+    if getattr(slot, "_labels_are_full_names", False):
+        names = list(slot.labels)
+    else:
+        names = slot.column_names
+    density = float(np.mean(values != 0)) if values.size else 1.0
+    if density > sparse_threshold:
+        return DenseMatrix(values, column_names=names, term_names=[slot.name] * len(names))
+    return SparseMatrix(
+        sps.csc_matrix(values),
+        column_names=names,
+        term_names=[slot.name] * len(names),
     )
 
 
@@ -404,6 +674,8 @@ class FormulaModelSpec:
     intercept: bool = False
     factor_states: dict = field(default_factory=dict)
     options: dict = field(default_factory=dict)
+    column_names: tuple = ()
+    term_names: tuple = ()
 
     def get_model_matrix(self, data):
         """Encode ``data`` using this spec's remembered factor states."""
@@ -525,6 +797,8 @@ def _materialize(
         for slot in factor_slots.values():
             if isinstance(slot, CategoricalSlot):
                 na_mask |= slot.codes == -1
+            elif isinstance(slot, MultiNumericSlot):
+                na_mask |= ~np.isfinite(slot.values).all(axis=1)
             else:
                 na_mask |= ~np.isfinite(slot.values)
         if na_mask.any():
@@ -536,6 +810,21 @@ def _materialize(
                 if isinstance(slot, CategoricalSlot):
                     slot.codes = slot.codes[keep]
                     slot.multipliers = slot.multipliers[keep]
+                    if not use_state:
+                        # levels are defined by the post-drop data
+                        # (formulaic drops rows before encoding); restrict
+                        # to observed categories, preserving order
+                        observed = np.unique(slot.codes[slot.codes >= 0])
+                        if len(observed) < len(slot.categories):
+                            remap = np.full(len(slot.categories), -1, np.int64)
+                            remap[observed] = np.arange(len(observed))
+                            live = slot.codes >= 0
+                            slot.codes[live] = remap[slot.codes[live]]
+                            slot.categories = [
+                                slot.categories[i] for i in observed
+                            ]
+                            if name in state:
+                                state[name].categories = list(slot.categories)
                 else:
                     slot.values = slot.values[keep]
 
@@ -556,7 +845,9 @@ def _materialize(
 
     if intercept and add_column_for_intercept:
         ones = NumericSlot(np.ones(n_rows), intercept_name)
-        _append(_numeric_to_matrix(ones, dtype, -1.0), intercept_name)
+        # the intercept TERM is "1" (formulaic convention); only its
+        # column is named by intercept_name
+        _append(_numeric_to_matrix(ones, dtype, -1.0), "1")
 
     for term in sorted(terms, key=lambda t: (t.degree,)):
         # encode each factor, deciding rank per the spanned-subset rule
@@ -590,6 +881,8 @@ def _materialize(
 
         if isinstance(combined, NumericSlot):
             mat = _numeric_to_matrix(combined, dtype, sparse_threshold)
+        elif isinstance(combined, MultiNumericSlot):
+            mat = _multi_to_matrix(combined, dtype, sparse_threshold)
         else:
             mat = _categorical_to_matrix(
                 combined, dtype, sparse_threshold, cat_threshold
@@ -602,4 +895,6 @@ def _materialize(
     result = SplitMatrix(matrices)
     result.set_names(term_names, type="term")
     result.model_spec = spec
+    spec.column_names = tuple(result.column_names)
+    spec.term_names = tuple(term_names)
     return result

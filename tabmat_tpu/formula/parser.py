@@ -11,7 +11,9 @@ Grammar, in increasing binding strength:
 
 ``CALL`` covers function factors like ``C(x)``, ``np.log(x)``,
 ``bs(x, 3)`` — the parenthesized argument text is kept verbatim and
-evaluated later against the data + context.
+evaluated later against the data + context.  A braced factor ``{expr}``
+(formulaic-style) is likewise kept verbatim (braces stripped) and
+evaluated as arbitrary Python against the data + context.
 
 Produces an ordered, deduplicated list of :class:`Term` (tuples of factor
 strings) plus an intercept flag; ``-`` removes terms, ``0``/``1`` toggle
@@ -55,6 +57,26 @@ def _tokenize(src: str) -> list[str]:
     tokens = []
     pos = 0
     while pos < len(src):
+        # skip whitespace, then check for a braced python factor `{...}`
+        while pos < len(src) and src[pos].isspace():
+            pos += 1
+        if pos < len(src) and src[pos] == "{":
+            depth = 0
+            start = pos
+            while pos < len(src):
+                if src[pos] == "{":
+                    depth += 1
+                elif src[pos] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        pos += 1
+                        break
+                pos += 1
+            if depth != 0:
+                raise ValueError(f"Unbalanced braces in formula: {src!r}")
+            # keep the inner text verbatim; it evaluates as python later
+            tokens.append(src[start + 1 : pos - 1].strip())
+            continue
         m = _TOKEN_RE.match(src, pos)
         if m is None:
             break
