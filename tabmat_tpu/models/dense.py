@@ -52,7 +52,8 @@ class DenseMatrix(MatrixBase):
             raise ValueError("Input array must be 1- or 2-dimensional")
 
         self._array = arr
-        self._ozaki_cache = None  # lazily-built X-side slice cache (TPU f64)
+        self._ozaki_cache = None  # lazily-built X-side slice caches (TPU f64)
+        self._ozaki_cache_T = None
         width = arr.shape[1]
 
         if column_names is not None:
@@ -202,21 +203,26 @@ class DenseMatrix(MatrixBase):
         return out[:k, :k] if out.shape[0] != k else out
 
     # X-side Ozaki slices are structural: build once, reuse every sandwich.
-    # Budget: 7 bf16 slices ≈ 0.9× the f64 matrix itself in HBM.
+    # Budget: 7 bf16 slices ≈ 0.9× the f64 matrix itself in HBM per layout
+    # (the sandwich uses the chunked (S, nc, CHUNK, k) layout, the matvec
+    # the transposed (S, k, n) layout — see ozaki.slice_matrix_T).
     _OZAKI_CACHE_MAX_ELEMENTS = 1 << 26
 
-    def _get_ozaki_cache(self):
+    def _ozaki_eligible(self) -> bool:
         from .._config import on_tpu
         from ..ops.dense_ops import _F64_CHUNK, _f64_mode
 
         n, k = self.shape
-        if (
-            self.dtype != np.float64
-            or not on_tpu()
-            or n <= _F64_CHUNK
-            or n * k > self._OZAKI_CACHE_MAX_ELEMENTS
-            or _f64_mode() != "ozaki"
-        ):
+        return (
+            self.dtype == np.float64
+            and on_tpu()
+            and n > _F64_CHUNK
+            and n * k <= self._OZAKI_CACHE_MAX_ELEMENTS
+            and _f64_mode() == "ozaki"
+        )
+
+    def _get_ozaki_cache(self):
+        if not self._ozaki_eligible():
             return None
         if self._ozaki_cache is None:
             from ..ops import ozaki
@@ -224,10 +230,21 @@ class DenseMatrix(MatrixBase):
             self._ozaki_cache = ozaki.slice_matrix(self._array)
         return self._ozaki_cache
 
+    def _get_ozaki_cache_T(self):
+        """Transposed slice cache used by the exact-f64 matvec."""
+        if not self._ozaki_eligible():
+            return None
+        if getattr(self, "_ozaki_cache_T", None) is None:
+            from ..ops import ozaki
+
+            self._ozaki_cache_T = ozaki.slice_matrix_T(self._array)
+        return self._ozaki_cache_T
+
     def __getstate__(self):
-        """Pickle without the rebuildable slice cache."""
+        """Pickle without the rebuildable slice caches."""
         state = self.__dict__.copy()
         state["_ozaki_cache"] = None
+        state["_ozaki_cache_T"] = None
         return state
 
     def _cross_sandwich(
@@ -312,10 +329,17 @@ class DenseMatrix(MatrixBase):
                     cols_to_mask(np.asarray(cols), k, np.dtype(vec.dtype))
                 )
                 v_eff = vec * (cmask if vec.ndim == 1 else cmask[:, None])
-            # (matvec stays on the emulated-dot path: the k-contraction is
-            # short enough to be exact, and the cached-slice formulation
-            # measured slower — per-chunk matvecs underutilize the MXU)
-            res = dense_ops.matvec(self._array, v_eff)
+            cache_T = self._get_ozaki_cache_T() if v_eff.ndim == 1 else None
+            if cache_T is not None:
+                # exact-f64 matvec on the MXU via transposed bf16 slices:
+                # ~1.5 ms at 1M×50 vs ~90 ms for the emulated-f64 dot
+                from ..ops import ozaki
+
+                res = ozaki.matvec_cached_T(
+                    cache_T[0], cache_T[1], v_eff, n=self.shape[0]
+                )
+            else:
+                res = dense_ops.matvec(self._array, v_eff)
             if out is None:
                 return result_like(vec_in, res)
             return add_into_out(out, res)

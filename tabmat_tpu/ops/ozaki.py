@@ -137,35 +137,50 @@ def _slice_vector(v: jax.Array):
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("n",))
-def matvec_cached(QX: jax.Array, eX: jax.Array, v: jax.Array, n=None) -> jax.Array:
-    """Exact ``X @ v`` from cached X slices.
+def slice_matrix_T(X: jax.Array):
+    """Transposed slice cache for the matvec: (S, k, n) bf16 + (k,) exps.
 
-    Contraction is over columns (k ≤ 256 keeps the f32 accumulation exact),
-    so chunking is unnecessary: the slice pairs sharing a level L = p+q can
-    be stacked and contracted in ONE bf16 matmul — (n, (L+1)·k) × ((L+1)·k,)
-    — cutting 21 small matvecs to 6 well-shaped ones.  Level-stacked sums
-    stay exact while (L+1)·k ≤ 2^8·k ≤ 2^24 / 2^16.
+    The matvec's per-slice matmul is ``Qv_stack (m, k) @ QXᵀ_p (k, n)`` —
+    with ``n`` in the lane dimension the f32 output (m ≤ S rows, n lanes)
+    has no lane padding.  (The (S, nc, CHUNK, k) layout used by the
+    sandwich puts k = 50 in the lanes, which pads every output tile to 128
+    lanes — measured 18× write amplification, 262 ms vs ~2 ms.)
     """
-    S_, nc, c, k = QX.shape
-    n_pad = nc * c
-    Qflat = QX.reshape(S, n_pad, k)
-    Qv, ev = _slice_vector(eX * v)
+    QX, eX = _slice_global(X)
+    return jnp.transpose(QX, (0, 2, 1)), eX
 
-    # one MXU matmul per X-slice: the S v-slices ride as output columns,
-    # P[p][:, q] = Qflat[p] @ Qv[q] — exact f32 integers while k ≤ 256.
-    R = Qv.T  # (k, S) bf16
-    P = jnp.einsum("pnj,jq->pnq", Qflat, R, preferred_element_type=jnp.float32)
-    scales = np.zeros((S, S))
+
+@partial(jax.jit, static_argnames=("n",))
+def matvec_cached_T(QXT: jax.Array, eX: jax.Array, v: jax.Array, n=None) -> jax.Array:
+    """Exact ``X @ v`` from transposed cached slices (S, k, n).
+
+    The k-contraction is short (k ≤ 2^(24-2T) = 256 keeps every f32
+    accumulation an exact integer sum), so no chunking is needed.  For each
+    X-slice p the admissible v-slices (q ≤ MAX_LEVEL − p) are stacked as
+    matmul ROWS: one (m_p, k) @ (k, n) MXU pass per p — 7 passes, each
+    reading its X-slice once; partials combine in f64 with the tracked
+    exponents.
+    """
+    S_, k, n_full = QXT.shape
+    Qv, ev = _slice_vector(eX * v)  # (S, k) bf16, scalar exp
+
+    out = jnp.zeros((n_full,), dtype=jnp.float64)
     for p in range(S):
-        for q in range(S):
-            if p + q <= MAX_LEVEL:
-                scales[p, q] = 0.5 ** ((p + q + 2) * T)
-    out = jnp.einsum(
-        "pnq,pq->n", P, jnp.asarray(scales), preferred_element_type=jnp.float64
-    )
+        m = MAX_LEVEL - p + 1  # v-slices q = 0..MAX_LEVEL-p
+        if m <= 0:
+            break
+        P = jax.lax.dot_general(
+            Qv[:m], QXT[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (m, n) exact integer f32
+        # combine rows with plain elementwise f64 FMAs — an f64 tensordot
+        # here lowers to an emulated-f64 contraction (measured 54 ms for
+        # what is 1.6 ms of VPU work)
+        for q in range(m):
+            out = out + P[q].astype(jnp.float64) * (0.5 ** ((p + q + 2) * T))
     out = out * ev
-    return out if n is None or n == n_pad else out[:n]
+    return out if n is None or n == n_full else out[:n]
 
 
 @jax.jit

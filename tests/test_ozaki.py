@@ -62,22 +62,39 @@ def test_transpose_matvec_exact(n, k):
 
 def test_cached_matvec_tmv():
     from tabmat_tpu.ops.ozaki import (
-        matvec_cached,
+        matvec_cached_T,
         slice_matrix,
+        slice_matrix_T,
         transpose_matvec_cached,
     )
 
     rng = np.random.default_rng(5)
     n, k = 5000, 30
     X_np = rng.standard_normal((n, k)) * np.exp(rng.standard_normal((1, k)) * 2)
-    cache = slice_matrix(jnp.asarray(X_np))
     v_np = rng.standard_normal(k) * np.exp(rng.standard_normal(k))
     r_np = rng.standard_normal(n)
 
-    mv = np.asarray(matvec_cached(cache[0], cache[1], jnp.asarray(v_np), n=n))
+    cache_T = slice_matrix_T(jnp.asarray(X_np))
+    mv = np.asarray(matvec_cached_T(cache_T[0], cache_T[1], jnp.asarray(v_np), n=n))
     ref = X_np @ v_np
     assert np.abs(mv - ref).max() / np.abs(ref).max() < 1e-13
 
+    cache = slice_matrix(jnp.asarray(X_np))
     tmv = np.asarray(transpose_matvec_cached(cache[0], cache[1], jnp.asarray(r_np)))
     ref = X_np.T @ r_np
     assert np.abs(tmv - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_cached_matvec_T_padded_n():
+    """n not a multiple of anything special; slices carry full n."""
+    from tabmat_tpu.ops.ozaki import matvec_cached_T, slice_matrix_T
+
+    rng = np.random.default_rng(6)
+    n, k = 4097, 7
+    X_np = rng.standard_normal((n, k))
+    X_np[:, 2] = 0.0
+    cache_T = slice_matrix_T(jnp.asarray(X_np))
+    v_np = rng.standard_normal(k)
+    mv = np.asarray(matvec_cached_T(cache_T[0], cache_T[1], jnp.asarray(v_np), n=n))
+    ref = X_np @ v_np
+    assert np.abs(mv - ref).max() / max(np.abs(ref).max(), 1e-300) < 1e-13
