@@ -299,12 +299,11 @@ def fit_glm(
     step still compiles into one XLA program.
     """
     from .models.base import MatrixBase
-    from .models.dense import DenseMatrix
     from .models.standardized import StandardizedMatrix
 
-    if isinstance(X, DenseMatrix):
-        X = X.unpack()
-    elif isinstance(X, (MatrixBase, StandardizedMatrix)):
+    if isinstance(X, (MatrixBase, StandardizedMatrix)):
+        # DenseMatrix included: the DeviceDesign carries its Ozaki slice
+        # caches into the jitted step (exact-f64 matvec/tmv at MXU speed)
         from .parallel.design import DeviceDesign
 
         X = DeviceDesign.from_matrix(X)

@@ -64,12 +64,19 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
         local_off += m.shape[1]
         flat_off += m.shape[0]
 
+    codes_flat = np.concatenate(codes_parts)
     arrays = {
-        "codes": jnp.asarray(np.concatenate(codes_parts)),
+        "codes": jnp.asarray(codes_flat),
         "perm": jnp.asarray(np.concatenate(perm_parts)),
         "starts": jnp.asarray(np.concatenate(starts_parts)),
         "ends": jnp.asarray(np.concatenate(ends_parts)),
     }
+    from ..ops import pallas_gather
+
+    if pallas_gather.supported(total_width, np.float64):
+        # structural (R, 128) code layout for the Pallas table-gather matvec
+        # (the pad sentinel total_width gathers an exact zero either way)
+        arrays["codes2d"] = jnp.asarray(pallas_gather.build_codes2d(codes_flat))
     # cross-pair plans for the explicit design sandwich (built when the
     # product of widths is bounded — the same feasibility as the sandwich)
     widths = tuple(m.shape[1] for m, _ in cat_pairs)
@@ -122,13 +129,41 @@ class DeviceDesign:
 
         Used for mixed-precision inner CG: gathers/cumsums in f32 halve
         traffic and skip f64 emulation, while the outer gradient stays f64.
+        The exact-f64 Ozaki slice caches only make sense at f64 — when
+        downcasting they are dropped (blindly casting their bf16 slices
+        would both break exactness bookkeeping and double their memory).
         """
-        return jax.tree_util.tree_map(
-            lambda leaf: leaf.astype(dtype)
-            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
-            else leaf,
-            self,
+        if jnp.dtype(dtype) == jnp.float64:
+            new_blocks = self.blocks
+        else:
+            new_blocks = [
+                _Block(
+                    b.kind,
+                    {
+                        k: v.astype(dtype)
+                        if jnp.issubdtype(v.dtype, jnp.floating)
+                        else v
+                        for k, v in b.arrays.items()
+                        if not k.startswith("ozk_")
+                    },
+                    b.width,
+                    b.positions,
+                    meta=b.meta,
+                )
+                for b in self.blocks
+            ]
+        d = object.__new__(DeviceDesign)
+        d.blocks = new_blocks
+        d.shape = self.shape
+        cast = lambda x: (  # noqa: E731
+            None if x is None else x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x
         )
+        d.shift = cast(self.shift)
+        d.mult = cast(self.mult)
+        d._index_map = self._index_map
+        d._gather_v = self._gather_v
+        return d
 
     @property
     def dtype(self):
@@ -158,7 +193,17 @@ class DeviceDesign:
 
         def block_of(m, positions) -> _Block:
             if isinstance(m, DenseMatrix):
-                return _Block("dense", {"X": m.unpack()}, m.shape[1], positions)
+                arrays = {"X": m.unpack()}
+                # structural Ozaki slice caches ride along as pytree leaves:
+                # inside a jitted IRLS step they turn the dense matvec from
+                # a ~92 ms emulated-f64 dot into a ~1.6 ms bf16-MXU pass
+                if m._ozaki_eligible():
+                    QXT, eXT = m._get_ozaki_cache_T()
+                    QX, eX = m._get_ozaki_cache()
+                    arrays.update(
+                        ozk_QXT=QXT, ozk_eXT=eXT, ozk_QX=QX, ozk_eX=eX
+                    )
+                return _Block("dense", arrays, m.shape[1], positions)
             if isinstance(m, SparseMatrix):
                 data_r, cols_r, bounds_r = m._csr_parts()
                 data_c, rows_c, bounds_c = m._csc_parts()
@@ -173,12 +218,12 @@ class DeviceDesign:
                 )
             if isinstance(m, CategoricalMatrix):
                 plan = m.plan
-                return _Block(
-                    "cat",
-                    {"codes": m.eff_codes, "perm": plan.perm, "bounds": plan.bounds},
-                    m.shape[1],
-                    positions,
-                )
+                arrays = {
+                    "codes": m.eff_codes, "perm": plan.perm, "bounds": plan.bounds,
+                }
+                if m.codes2d is not None:
+                    arrays["codes2d"] = m.codes2d
+                return _Block("cat", arrays, m.shape[1], positions)
             raise TypeError(f"Cannot convert {type(m).__name__} to a DeviceDesign")
 
         if isinstance(mat, SplitMatrix):
@@ -201,6 +246,12 @@ class DeviceDesign:
     def _block_matvec(self, block: _Block, v: jax.Array) -> jax.Array:
         a = block.arrays
         if block.kind == "dense":
+            if "ozk_QXT" in a and v.dtype == jnp.float64 and v.ndim == 1:
+                from ..ops import ozaki
+
+                return ozaki.matvec_cached_T(
+                    a["ozk_QXT"], a["ozk_eXT"], v, n=self.shape[0]
+                )
             return a["X"] @ v
         if block.kind == "sparse":
             t = a["csr_data"] * jnp.take(v, a["csr_cols"])
@@ -208,11 +259,22 @@ class DeviceDesign:
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
             return jnp.take(p, a["csr_bounds"][1:]) - jnp.take(p, a["csr_bounds"][:-1])
         if block.kind == "catstack":
-            # stacked cats: one padded gather, reshape (C, n), one reduce
-            vcp = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
-            g = jnp.take(vcp, a["codes"])
+            n_cat = a["codes"].shape[0]
+            if "codes2d" in a and v.dtype in (jnp.float32, jnp.float64):
+                from ..ops import pallas_gather
+
+                # lane-shuffle table gather (pad sentinel gathers exact 0)
+                g = pallas_gather.table_gather(v, a["codes2d"], n_cat)
+            else:
+                # stacked cats: one padded gather, reshape (C, n), one reduce
+                vcp = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+                g = jnp.take(vcp, a["codes"])
             return g.reshape(-1, self.shape[0]).sum(axis=0)
         # categorical: gather (negative codes contribute zero)
+        if "codes2d" in a and v.dtype in (jnp.float32, jnp.float64):
+            from ..ops import pallas_gather
+
+            return pallas_gather.table_gather(v, a["codes2d"], self.shape[0])
         codes = a["codes"]
         valid = codes >= 0
         g = jnp.take(v, jnp.clip(codes, 0, block.width - 1))
@@ -223,6 +285,10 @@ class DeviceDesign:
         if block.kind == "dense":
             from ..ops import dense_ops
 
+            if "ozk_QX" in a and r.dtype == jnp.float64 and r.ndim == 1:
+                from ..ops import ozaki
+
+                return ozaki.transpose_matvec_cached(a["ozk_QX"], a["ozk_eX"], r)
             return dense_ops.transpose_matvec(a["X"], r)
         if block.kind == "sparse":
             t = a["csc_data"] * jnp.take(r, a["csc_rows"])
@@ -346,9 +412,15 @@ class DeviceDesign:
 
         rows = []
         if Xd is not None:
-            S_dd = dense_ops._sandwich_f64_chunked(Xd, w) if (
-                Xd.dtype == jnp.float64 and n > dense_ops._F64_CHUNK
-            ) else dense_ops._sandwich_jnp(Xd, w)
+            da = dense_blocks[0].arrays
+            if "ozk_QX" in da and Xd.dtype == jnp.float64:
+                from ..ops import ozaki
+
+                S_dd = ozaki.sandwich_cached(Xd, w, (da["ozk_QX"], da["ozk_eX"]))
+            elif Xd.dtype == jnp.float64 and n > dense_ops._F64_CHUNK:
+                S_dd = dense_ops._sandwich_f64_chunked(Xd, w)
+            else:
+                S_dd = dense_ops._sandwich_jnp(Xd, w)
             cross_dc = []
             for perm, starts, ends, wc, b in cat_info:
                 # cat×dense: segment-sum of w-scaled dense rows (exact cumsum)
