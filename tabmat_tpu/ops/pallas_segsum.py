@@ -1,0 +1,150 @@
+"""MXU segment-sum: ``out[c] = Σ_{i: code_i == c} v_i`` as one-hot matmuls.
+
+The SegmentPlan pipeline (``segments.py``) costs one n-length permutation
+gather (element-serial on this TPU, ~13 ns/elem) plus an n-length f64
+cumsum per reduction.  This kernel instead contracts the values against an
+on-the-fly one-hot matrix on the MXU — the reduction the reference does
+with scatter-adds (``tabmat/ext/cat_split_helpers-tmpl.cpp:4-94``), recast
+as dense linear algebra:
+
+- per (row-tile, column-chunk) grid step, build ``onehot[i, c] =
+  (code_i == c)`` in VMEM (never materialized to HBM) and compute
+  ``q_tile (M, TILE) @ onehot (TILE, WCH)`` on the MXU;
+- the lhs rows are **error-free bf16 slices** of the values (Ozaki
+  scheme, see ``ops/ozaki.py``): slice integers are ≤ 2^8, so each f32
+  partial over a 4096-element tile is an exact ≤ 2^20 integer;
+- per-tile partials are reduced across tiles in f64 outside the kernel —
+  the whole reduction is exactly rounded, like the SegmentPlan path.
+
+Cost: n·W one-hot compares (VPU) + S·n·W bf16 MACs (MXU) — for 1M rows
+and W ≤ ~16k this is single-digit ms, 3-10× under the gather pipeline.
+Larger W (or CPU) falls back to the SegmentPlan automatically.
+
+Multi-row lhs (``M = S·m`` for m value columns) computes m segment-sums in
+one pass — used by the categorical×dense cross-sandwich.
+"""
+
+from functools import partial
+
+import jax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+import jax.numpy as jnp
+import numpy as np
+
+from . import ozaki
+
+TILE = 4096  # elements per row-tile: slice-sums stay exact ≤ 2^(8+12) in f32
+WCH = 512  # one-hot column chunk: (TILE, WCH) bf16 = 4 MB VMEM
+MAX_W = 1 << 14  # beyond this the one-hot compares lose to the gather plan
+
+
+def supported(num_segments: int, dtype=jnp.float64) -> bool:
+    from .._config import on_tpu
+
+    if not on_tpu():
+        return False
+    if num_segments > MAX_W:
+        return False
+    return jnp.dtype(dtype) in (jnp.float32, jnp.float64)
+
+
+def build_codes_col(codes: np.ndarray) -> np.ndarray:
+    """Host-side structural layout: (n_pad, 1) int32, padded with -1.
+
+    Out-of-range codes (missing/drop_first sentinels and the padding)
+    match no one-hot column and contribute exact zeros.
+    """
+    codes = np.asarray(codes)
+    n = len(codes)
+    n_pad = -(-n // TILE) * TILE
+    out = np.full((n_pad, 1), -1, dtype=np.int32)
+    out[:n, 0] = codes.astype(np.int32, copy=False)
+    return out
+
+
+def _segsum_kernel(c_ref, q_ref, o_ref):
+    base = pl.program_id(1) * WCH
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WCH), 1) + base
+    onehot = (c_ref[:] == iota).astype(jnp.bfloat16)
+    o_ref[0] = jax.lax.dot_general(
+        q_ref[:],
+        onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("w_pad",))
+def _segsum_parts(q: jax.Array, codes_col: jax.Array, w_pad: int) -> jax.Array:
+    """(M, n_pad) bf16 slices × structural codes → (n_tiles, M, w_pad) f32."""
+    M, n_pad = q.shape
+    grid = (n_pad // TILE, w_pad // WCH)
+    return pl.pallas_call(
+        _segsum_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (TILE, 1), lambda i, j: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (M, TILE), lambda i, j: (jnp.int32(0), i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, M, WCH), lambda i, j: (i, jnp.int32(0), j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0], M, w_pad), jnp.float32),
+    )(codes_col, q)
+
+
+def _slice_rows(values: jax.Array, n_pad: int):
+    """Error-free bf16 slice rows of a value vector (or (n, m) columns).
+
+    Returns (q (S·m, n_pad) bf16, exps (m,) f64, n_slices).  f32 inputs
+    carry 24 mantissa bits → 3 slices; f64 carries the platform's 48-bit
+    pair → 7 slices (ozaki.S).
+    """
+    n_slices = 3 if values.dtype == jnp.float32 else ozaki.S
+    v2d = values[:, None] if values.ndim == 1 else values
+    v2d = v2d.astype(jnp.float64)
+    n, m = v2d.shape
+    absmax = jnp.max(jnp.abs(v2d), axis=0, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
+    exps = jnp.exp2(e)[0]
+    r = v2d * jnp.exp2(-e)
+    slices = []
+    for p in range(n_slices):
+        qp = jnp.round(r * jnp.float64(1 << ((p + 1) * ozaki.T)))
+        slices.append(qp.astype(jnp.bfloat16))
+        r = r - qp * (0.5 ** ((p + 1) * ozaki.T))
+    q = jnp.stack(slices)  # (S, n, m)
+    q = jnp.transpose(q, (0, 2, 1)).reshape(n_slices * m, n)
+    return jnp.pad(q, ((0, 0), (0, n_pad - n))), exps, n_slices
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segsum(values: jax.Array, codes_col: jax.Array, num_segments: int) -> jax.Array:
+    """Exact segment-sum of a vector → (num_segments,) in values' dtype."""
+    out = segsum_2d(values[:, None], codes_col, num_segments)
+    return out[:, 0]
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segsum_2d(values: jax.Array, codes_col: jax.Array, num_segments: int) -> jax.Array:
+    """Exact column-wise segment-sum of (n, m) values → (num_segments, m)."""
+    in_dtype = values.dtype
+    n_pad = codes_col.shape[0]
+    m = values.shape[1]
+    q, exps, n_slices = _slice_rows(values, n_pad)
+    w_pad = -(-num_segments // WCH) * WCH
+    parts = _segsum_parts(q, codes_col, w_pad)
+    # exact: per-tile partials are ≤2^20 f32 integers; the cross-tile and
+    # cross-slice reductions run in f64 with the tracked slice weights
+    tot = jnp.sum(parts, axis=0, dtype=jnp.float64)  # (S·m, w_pad)
+    tot = tot.reshape(n_slices, m, w_pad)
+    weights = jnp.asarray(
+        [0.5 ** ((p + 1) * ozaki.T) for p in range(n_slices)], dtype=jnp.float64
+    )
+    out = jnp.einsum("smw,s->wm", tot, weights) * exps[None, :]
+    return out[:num_segments].astype(in_dtype)

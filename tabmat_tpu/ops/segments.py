@@ -34,18 +34,37 @@ class SegmentPlan:
     bounds: (num_segments + 1,) int32 device array — segment boundaries in
         the sorted order; segment ``s`` occupies ``perm[bounds[s]:bounds[s+1]]``.
     num_segments: static int.
+    codes_col: optional (n_pad, 1) int32 device array — structural code
+        layout for the MXU one-hot segment-sum (TPU, num_segments ≤ 2^14);
+        None where the gather/cumsum pipeline is the better (or only) route.
     """
 
     perm: jax.Array
     bounds: jax.Array
     num_segments: int
+    codes_col: jax.Array = None
 
     def sum(self, values: jax.Array) -> jax.Array:
         """Segment-sum ``values`` by the plan's keys → (num_segments,)."""
+        if self.codes_col is not None and values.dtype in (
+            jnp.float32,
+            jnp.float64,
+        ):
+            from . import pallas_segsum
+
+            return pallas_segsum.segsum(values, self.codes_col, self.num_segments)
         return _segment_sum(self.perm, self.bounds, values)
 
     def sum2d(self, values: jax.Array) -> jax.Array:
         """Row-wise segment-sum of a (n, m) matrix → (num_segments, m)."""
+        if (
+            self.codes_col is not None
+            and values.dtype in (jnp.float32, jnp.float64)
+            and values.shape[1] * 7 <= 128  # lhs slice rows stay one MXU pass
+        ):
+            from . import pallas_segsum
+
+            return pallas_segsum.segsum_2d(values, self.codes_col, self.num_segments)
         return _segment_sum_2d(self.perm, self.bounds, values)
 
 
@@ -78,10 +97,16 @@ def build_plan(keys: np.ndarray, num_segments: int) -> SegmentPlan:
         bounds = np.searchsorted(
             sorted_keys, np.arange(num_segments + 1, dtype=keys.dtype)
         ).astype(np.int64)
+    from . import pallas_segsum
+
+    codes_col = None
+    if keys32.dtype == np.int32 and pallas_segsum.supported(num_segments):
+        codes_col = jnp.asarray(pallas_segsum.build_codes_col(keys32))
     return SegmentPlan(
         perm=jnp.asarray(perm),
         bounds=jnp.asarray(bounds),
         num_segments=num_segments,
+        codes_col=codes_col,
     )
 
 

@@ -46,16 +46,21 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
       one global cumsum (prefix offsets cancel in the boundary differences),
       one start/end boundary gather.
     """
+    from ..ops import pallas_segsum
+
     codes_parts, perm_parts, starts_parts, ends_parts, pos_parts = [], [], [], [], []
+    seg_cols = {}
     local_off = 0
     flat_off = 0
     total_width = sum(m.shape[1] for m, _ in cat_pairs)
-    for m, positions in cat_pairs:
+    for ci, (m, positions) in enumerate(cat_pairs):
         eff = m._eff_codes_np
         codes_parts.append(
             np.where(eff >= 0, eff + local_off, total_width).astype(np.int32)
         )
         plan = m.plan
+        if plan.codes_col is not None:
+            seg_cols[f"ccol_{ci}"] = plan.codes_col
         perm_parts.append(np.asarray(plan.perm, dtype=np.int64))
         bounds = np.asarray(plan.bounds, dtype=np.int64) + flat_off
         starts_parts.append(bounds[:-1])
@@ -77,6 +82,7 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
         # structural (R, 128) code layout for the Pallas table-gather matvec
         # (the pad sentinel total_width gathers an exact zero either way)
         arrays["codes2d"] = jnp.asarray(pallas_gather.build_codes2d(codes_flat))
+    arrays.update(seg_cols)
     # cross-pair plans for the explicit design sandwich (built when the
     # product of widths is bounded — the same feasibility as the sandwich)
     widths = tuple(m.shape[1] for m, _ in cat_pairs)
@@ -97,6 +103,12 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
                 )
                 arrays[f"xperm_{a}_{b}"] = jnp.asarray(perm)
                 arrays[f"xbounds_{a}_{b}"] = jnp.asarray(bounds)
+                if pallas_segsum.supported(widths[a] * widths[b]):
+                    arrays[f"xccol_{a}_{b}"] = jnp.asarray(
+                        pallas_segsum.build_codes_col(
+                            np.asarray(combined, dtype=np.int32)
+                        )
+                    )
     return _Block(
         "catstack",
         arrays,
@@ -223,6 +235,8 @@ class DeviceDesign:
                 }
                 if m.codes2d is not None:
                     arrays["codes2d"] = m.codes2d
+                if plan.codes_col is not None:
+                    arrays["ccol_0"] = plan.codes_col
                 return _Block("cat", arrays, m.shape[1], positions)
             raise TypeError(f"Cannot convert {type(m).__name__} to a DeviceDesign")
 
@@ -296,12 +310,29 @@ class DeviceDesign:
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
             return jnp.take(p, a["csc_bounds"][1:]) - jnp.take(p, a["csc_bounds"][:-1])
         if block.kind == "catstack":
+            widths = block.meta
+            if r.dtype in (jnp.float32, jnp.float64) and all(
+                f"ccol_{ci}" in a for ci in range(len(widths))
+            ):
+                from ..ops import pallas_segsum
+
+                # per-cat MXU one-hot segment sums (no n-length perm gather)
+                return jnp.concatenate(
+                    [
+                        pallas_segsum.segsum(r, a[f"ccol_{ci}"], wc)
+                        for ci, wc in enumerate(widths)
+                    ]
+                )
             # one gather through all cats' perms, one global cumsum (prefix
             # offsets cancel in the start/end differences), one boundary take
             g = jnp.take(r, a["perm"])
             csum = jnp.cumsum(g)
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
             return jnp.take(p, a["ends"]) - jnp.take(p, a["starts"])
+        if "ccol_0" in a and r.dtype in (jnp.float32, jnp.float64):
+            from ..ops import pallas_segsum
+
+            return pallas_segsum.segsum(r, a["ccol_0"], block.width)
         g = jnp.take(r, a["perm"])
         csum = jnp.cumsum(g)
         p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
@@ -372,13 +403,15 @@ class DeviceDesign:
 
         n = self.shape[0]
         dense_blocks = [b for b in self.blocks if b.kind == "dense"]
-        cat_info = []  # (perm, starts, ends, width) per cat, in concat order
+        # (perm, starts, ends, width, block, codes_col) per cat, concat order
+        cat_info = []
         cross = {}
         for b in self.blocks:
             if b.kind == "cat":
                 bounds = b.arrays["bounds"]
                 cat_info.append(
-                    (b.arrays["perm"], bounds[:-1], bounds[1:], b.width, b)
+                    (b.arrays["perm"], bounds[:-1], bounds[1:], b.width, b,
+                     b.arrays.get("ccol_0"))
                 )
             elif b.kind == "catstack":
                 widths = b.meta
@@ -394,6 +427,7 @@ class DeviceDesign:
                             b.arrays["ends"][start_off : start_off + wc] - off_flat,
                             wc,
                             b,
+                            b.arrays.get(f"ccol_{ci}"),
                         )
                     )
                     off_flat += n
@@ -404,6 +438,7 @@ class DeviceDesign:
                         cross[(base + a, base + c)] = (
                             b.arrays[f"xperm_{a}_{c}"],
                             b.arrays[f"xbounds_{a}_{c}"],
+                            b.arrays.get(f"xccol_{a}_{c}"),
                         )
 
         Xd = dense_blocks[0].arrays["X"] if dense_blocks else None
@@ -422,14 +457,23 @@ class DeviceDesign:
             else:
                 S_dd = dense_ops._sandwich_jnp(Xd, w)
             cross_dc = []
-            for perm, starts, ends, wc, b in cat_info:
-                # cat×dense: segment-sum of w-scaled dense rows (exact cumsum)
-                g = jnp.take(wXd, perm, axis=0)
-                csum = jnp.cumsum(g, axis=0)
-                p = jnp.concatenate(
-                    [jnp.zeros((1, kd), csum.dtype), csum], axis=0
-                )
-                M = jnp.take(p, ends, axis=0) - jnp.take(p, starts, axis=0)
+            for perm, starts, ends, wc, b, ccol in cat_info:
+                # cat×dense: segment-sum of w-scaled dense rows
+                if (
+                    ccol is not None
+                    and wXd.dtype in (jnp.float32, jnp.float64)
+                    and kd * 7 <= 128
+                ):
+                    from ..ops import pallas_segsum
+
+                    M = pallas_segsum.segsum_2d(wXd, ccol, wc)
+                else:
+                    g = jnp.take(wXd, perm, axis=0)
+                    csum = jnp.cumsum(g, axis=0)
+                    p = jnp.concatenate(
+                        [jnp.zeros((1, kd), csum.dtype), csum], axis=0
+                    )
+                    M = jnp.take(p, ends, axis=0) - jnp.take(p, starts, axis=0)
                 cross_dc.append(M)  # (wc, kd)
             top = (
                 jnp.concatenate([S_dd] + [M.T for M in cross_dc], axis=1)
@@ -440,17 +484,26 @@ class DeviceDesign:
         else:
             cross_dc = []
 
-        for i, (perm_i, starts_i, ends_i, wi, _) in enumerate(cat_info):
+        from ..ops import pallas_segsum
+
+        w_seg_ok = w.dtype in (jnp.float32, jnp.float64)
+        for i, (perm_i, starts_i, ends_i, wi, _, ccol_i) in enumerate(cat_info):
             row_parts = []
             if Xd is not None:
                 row_parts.append(cross_dc[i])
-            for j, (perm_j, starts_j, ends_j, wj, _) in enumerate(cat_info):
+            for j, (perm_j, starts_j, ends_j, wj, _, _ccj) in enumerate(cat_info):
                 if i == j:
-                    diag = seg_sum(perm_i, starts_i, ends_i, w)
+                    if ccol_i is not None and w_seg_ok:
+                        diag = pallas_segsum.segsum(w, ccol_i, wi)
+                    else:
+                        diag = seg_sum(perm_i, starts_i, ends_i, w)
                     row_parts.append(jnp.diag(diag))
                 elif (min(i, j), max(i, j)) in cross:
-                    xperm, xbounds = cross[(min(i, j), max(i, j))]
-                    flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)
+                    xperm, xbounds, xccol = cross[(min(i, j), max(i, j))]
+                    if xccol is not None and w_seg_ok:
+                        flat = pallas_segsum.segsum(w, xccol, wi * wj)
+                    else:
+                        flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)
                     if i < j:
                         row_parts.append(flat.reshape(wi, wj))
                     else:
