@@ -177,6 +177,77 @@ class DeviceDesign:
         d._gather_v = self._gather_v
         return d
 
+    def shard(self, mesh, rows: str = "dp", dense_cols: str = None):
+        """Place the design's leaves on a device mesh — the user multichip path.
+
+        Everything row-indexed shards over the ``rows`` mesh axis (or an axis
+        tuple, e.g. ``("dcn", "dp")`` for a two-level DCN×ICI mesh); dense
+        design columns optionally shard over ``dense_cols``; small structural
+        state replicates.  The returned design drops Pallas-only structural
+        arrays (``codes2d``/``ccol_*``) — ``pallas_call`` is not partitionable
+        by GSPMD, so the sharded step runs the pure-jnp formulations, whose
+        reductions XLA turns into per-shard partials + psum over ICI
+        (explicit shard_map variants live in ``parallel.shard_ops``).
+
+        The result feeds ``glm.irls_step``/``fit_glm`` unchanged: the step
+        jit-compiles against the leaf shardings inside ``with mesh:``.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows_spec = rows if isinstance(rows, tuple) else (rows,)
+        n = self.shape[0]
+        n_row_shards = int(np.prod([mesh.shape[a] for a in rows_spec]))
+
+        def put(x, *spec):
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        def rowdim(x, *tail):
+            return put(x, rows_spec, *tail)
+
+        new_blocks = []
+        for b in self.blocks:
+            arrs = {}
+            for key, v in b.arrays.items():
+                if key == "codes2d" or key.startswith(("ccol", "xccol")):
+                    continue  # Pallas-only layouts: see docstring
+                if b.kind == "dense":
+                    if key == "X":
+                        arrs[key] = rowdim(v, dense_cols)
+                    elif key == "ozk_QXT":
+                        # (S, k, n): row axis last — shard it when aligned
+                        arrs[key] = (
+                            put(v, None, None, rows_spec)
+                            if v.shape[2] % n_row_shards == 0
+                            else put(v)
+                        )
+                    elif key == "ozk_QX":
+                        # (S, nc, CHUNK, k): rows chunked on axis 1
+                        arrs[key] = (
+                            put(v, None, rows_spec)
+                            if v.shape[1] % n_row_shards == 0
+                            else put(v)
+                        )
+                    else:
+                        arrs[key] = put(v)
+                elif b.kind == "sparse":
+                    # nnz-indexed leaves do not align with row shards;
+                    # replicate (CSR/CSC cumsums stay local per device)
+                    arrs[key] = put(v)
+                elif key in ("codes", "perm") and v.shape[0] % n_row_shards == 0:
+                    arrs[key] = rowdim(v)
+                else:
+                    arrs[key] = put(v)
+            new_blocks.append(_Block(b.kind, arrs, b.width, b.positions, b.meta))
+
+        d = object.__new__(DeviceDesign)
+        d.blocks = new_blocks
+        d.shape = self.shape
+        d.shift = None if self.shift is None else put(self.shift)
+        d.mult = None if self.mult is None else put(self.mult)
+        d._index_map = put(self._index_map)
+        d._gather_v = put(self._gather_v)
+        return d
+
     @property
     def dtype(self):
         """Float dtype of the design (from the first float-valued block)."""

@@ -32,6 +32,28 @@ def make_mesh(
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
+def make_mesh_2level(
+    dcn: int,
+    dp: int,
+    mp: int = 1,
+    axis_names: Sequence[str] = ("dcn", "dp", "mp"),
+) -> Mesh:
+    """Two-level (DCN × ICI) mesh: ``dcn`` slices × ``dp×mp`` chips each.
+
+    Row shards use ``("dcn", "dp")`` so each slice reduces over its own ICI
+    first; the cross-slice combine is one (k,)/(k, k)-sized psum over DCN —
+    the only traffic that leaves a slice.  ``jax.devices()`` ordering places
+    adjacent devices in the same slice, matching how multi-slice TPU jobs
+    enumerate their chips.
+    """
+    devices = jax.devices()
+    need = dcn * dp * mp
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:need]).reshape(dcn, dp, mp)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
 def shard_rows(x, mesh: Mesh, extra_axes: int = 0):
     """Place an array with its leading (row) axis sharded over 'dp'."""
     spec = P("dp", *([None] * extra_axes))

@@ -164,3 +164,89 @@ def test_shard_map_segment_sum(mesh):
     np.testing.assert_allclose(
         np.asarray(out), np.bincount(codes, weights=vals, minlength=K), atol=1e-11
     )
+
+
+def test_user_path_sharded_irls(mesh):
+    """SplitMatrix -> DeviceDesign.shard -> irls_step: the user multichip path."""
+    from scipy import sparse as sps
+
+    import tabmat_tpu as tm
+    from tabmat_tpu.glm import irls_step
+    from tabmat_tpu.parallel.design import DeviceDesign
+
+    rng = np.random.default_rng(21)
+    n, kd, kc = 1024, 4, 9
+    split = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, kd))),
+            tm.SparseMatrix(sps.random(n, 5, density=0.1, random_state=4, format="csc")),
+            tm.CategoricalMatrix(
+                rng.integers(0, kc, n).astype(np.int32), categories=np.arange(kc)
+            ),
+        ]
+    )
+    design = DeviceDesign.from_matrix(split)
+    y = jnp.asarray(rng.poisson(1.5, n).astype(np.float64))
+    w = jnp.ones(n, dtype=jnp.float64)
+    b0 = jnp.zeros(split.shape[1], dtype=jnp.float64)
+    ref = np.asarray(
+        irls_step(design, y, w, b0, family="poisson", n_cg=5, inner_precision="float64")
+    )
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows = lambda x: jax.device_put(x, NamedSharding(mesh, P("dp")))  # noqa: E731
+    with mesh:
+        got = irls_step(
+            design.shard(mesh, rows="dp", dense_cols="mp"),
+            rows(y),
+            rows(w),
+            jax.device_put(b0, NamedSharding(mesh, P())),
+            family="poisson",
+            n_cg=5,
+            inner_precision="float64",
+        )
+        got.block_until_ready()
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-8, atol=1e-10)
+
+
+def test_user_path_two_level_mesh():
+    """Row shards over a two-level ("dcn", "dp") mesh match single-device."""
+    import tabmat_tpu as tm
+    from tabmat_tpu.glm import irls_step
+    from tabmat_tpu.parallel.design import DeviceDesign
+    from tabmat_tpu.parallel.mesh import make_mesh_2level
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh2 = make_mesh_2level(dcn=2, dp=4, mp=1)
+    rng = np.random.default_rng(22)
+    n, kc = 512, 7
+    cm = tm.CategoricalMatrix(
+        rng.integers(0, kc, n).astype(np.int32), categories=np.arange(kc)
+    )
+    design = DeviceDesign.from_matrix(cm)
+    y = jnp.asarray(rng.poisson(1.0, n).astype(np.float64))
+    w = jnp.ones(n, dtype=jnp.float64)
+    b0 = jnp.zeros(kc, dtype=jnp.float64)
+    ref = np.asarray(
+        irls_step(design, y, w, b0, family="poisson", n_cg=4, inner_precision="float64")
+    )
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows = lambda x: jax.device_put(  # noqa: E731
+        x, NamedSharding(mesh2, P(("dcn", "dp")))
+    )
+    with mesh2:
+        got = irls_step(
+            design.shard(mesh2, rows=("dcn", "dp")),
+            rows(y),
+            rows(w),
+            jax.device_put(b0, NamedSharding(mesh2, P())),
+            family="poisson",
+            n_cg=4,
+            inner_precision="float64",
+        )
+        got.block_until_ready()
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-8, atol=1e-10)
