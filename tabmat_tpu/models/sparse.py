@@ -122,6 +122,7 @@ class SparseMatrix(MatrixBase):
         self._dev_csc = None
         self._dev_dense = None
         self._pair_plan = None  # (plan, ia, ib, row) for the pair sandwich
+        self._mirror_ozaki = None  # (QX, eX, QXT, eXT) slice caches
 
     def __getstate__(self):
         """Pickle only host state; device mirrors rebuild lazily on load."""
@@ -131,6 +132,7 @@ class SparseMatrix(MatrixBase):
         state["_dev_dense"] = None
         state["_pair_plan"] = None
         state["_array_csr"] = None
+        state["_mirror_ozaki"] = None
         return state
 
     # -- device mirrors --------------------------------------------------
@@ -204,6 +206,41 @@ class SparseMatrix(MatrixBase):
         if self._dev_dense is None:
             self._dev_dense = jnp.asarray(self._array.toarray())
         return self._dev_dense
+
+    # densified mirror slice budget: QX + QXT cost 28 bytes/element
+    _MIRROR_OZAKI_MAX_ELEMENTS = 1 << 26
+
+    def _mirror_ozaki_caches(self):
+        """Ozaki slice caches over the densified mirror (TPU fast path).
+
+        At GLM-typical widths a "sparse" matvec/tmv/sandwich is fastest as
+        an exact bf16-MXU *dense* contraction over the densified mirror —
+        the MXU chews the zero-multiplies far faster than any gather/cumsum
+        pipeline walks the nonzeros (reference kernel:
+        ``tabmat/ext/sparse.pyx:17-77``, an OpenMP CSC walker).
+        """
+        from .._config import on_tpu
+        from ..ops.dense_ops import _F64_CHUNK, _f64_mode
+
+        n, k = self.shape
+        if not (
+            on_tpu()
+            and np.dtype(self.dtype) == np.float64
+            and n > _F64_CHUNK
+            and n * k <= self._MIRROR_OZAKI_MAX_ELEMENTS
+            and _f64_mode() == "ozaki"
+        ):
+            return None
+        dense = self._dense_mirror()
+        if dense is None:
+            return None
+        if self._mirror_ozaki is None:
+            from ..ops import ozaki
+
+            QX, eX = ozaki.slice_matrix(dense)
+            QXT, eXT = ozaki.slice_matrix_T(dense)
+            self._mirror_ozaki = (QX, eX, QXT, eXT)
+        return self._mirror_ozaki
 
     # -- scipy-compatible surface -----------------------------------------
 
@@ -333,6 +370,24 @@ class SparseMatrix(MatrixBase):
         d_np = np.asarray(d) if not is_jax_array(d) else d
         check_sandwich_compatible(self, d_np)
 
+        mirror = self._mirror_ozaki_caches()
+        if mirror is not None and np.dtype(d_np.dtype) == np.float64:
+            from ..ops import ozaki
+
+            d_dev = jnp.asarray(d_np)
+            mask = rows_to_mask(
+                None if rows is None else np.asarray(rows), self.shape[0], self.dtype
+            )
+            dm = d_dev if mask is None else d_dev * jnp.asarray(mask)
+            S = ozaki.sandwich_cached(self._dense_mirror(), dm, mirror[:2])
+            if not is_identity_index(cols, self.shape[1]):
+                c = np.asarray(cols)
+                if is_jax_array(d_in):
+                    ci = jnp.asarray(c.astype(np.int32))
+                    return jnp.take(jnp.take(S, ci, axis=0), ci, axis=1)
+                return np.asarray(S)[np.ix_(c, c)]
+            return S if is_jax_array(d_in) else np.asarray(S)
+
         pair = self._pair_sandwich_parts()
         if pair is not None:
             pairprod_sorted, row_sorted, bounds = pair
@@ -444,10 +499,18 @@ class SparseMatrix(MatrixBase):
                 mask = rows_to_mask(np.asarray(rows), n, np.dtype(vec.dtype))
                 m = jnp.asarray(mask)
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
-            data, row_idx, col_bounds = self._csc_parts()
-            if vec.ndim == 1:
+            mirror = self._mirror_ozaki_caches() if vec.ndim == 1 else None
+            if mirror is not None and v_eff.dtype == jnp.float64:
+                from ..ops import ozaki
+
+                res_full = ozaki.transpose_matvec_cached(
+                    mirror[0], mirror[1], v_eff
+                )
+            elif vec.ndim == 1:
+                data, row_idx, col_bounds = self._csc_parts()
                 res_full = sparse_ops.csc_rmatvec(data, row_idx, col_bounds, v_eff)
             else:
+                data, row_idx, col_bounds = self._csc_parts()
                 res_full = sparse_ops.csc_rmatmat(data, row_idx, col_bounds, v_eff)
             if is_identity_index(cols, k):
                 if out is None:
@@ -476,10 +539,16 @@ class SparseMatrix(MatrixBase):
                 cmask[np.asarray(cols)] = 1
                 m = jnp.asarray(cmask)
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
-            data, col_idx, row_bounds = self._csr_parts()
-            if vec.ndim == 1:
+            mirror = self._mirror_ozaki_caches() if vec.ndim == 1 else None
+            if mirror is not None and v_eff.dtype == jnp.float64:
+                from ..ops import ozaki
+
+                res = ozaki.matvec_cached_T(mirror[2], mirror[3], v_eff)
+            elif vec.ndim == 1:
+                data, col_idx, row_bounds = self._csr_parts()
                 res = sparse_ops.csr_matvec(data, col_idx, row_bounds, v_eff)
             else:
+                data, col_idx, row_bounds = self._csr_parts()
                 res = sparse_ops.csr_matmat(data, col_idx, row_bounds, v_eff)
             if out is None:
                 return result_like(vec_in, res)

@@ -31,11 +31,14 @@ def _use_pallas_sandwich(X) -> bool:
     return X.dtype == jnp.float32 and on_tpu() and X.ndim == 2
 
 
-# The TPU backend's emulated-f64 dot is exact up to ~16k contraction
-# length (measured: 1.3e-15 at 16384, 1e-11 at 32768, 8.6e-9 at 49152+).
-# Long f64 contractions are therefore chunked at _F64_CHUNK rows with
-# float64 inter-chunk accumulation on the VPU, which keeps every reduction
-# correctly rounded at any n.  See tests/test_tpu_precision.py.
+# The TPU backend's emulated-f64 dot degrades with contraction length:
+# ≈ exact ≤ 4k (1.9e-15), 1.3e-15 at 16384, ~1e-11 at 32768, ~1e-8 past
+# 48k (algorithm switch).  _F64_CHUNK is the largest contraction allowed
+# un-chunked; longer reductions chunk here with f64 inter-chunk
+# accumulation, which keeps them correctly rounded at any n.  The single
+# source of truth for these numbers is the measured dossier in
+# docs/tpu_platform_notes.md ("float64 semantics"); the boundary is
+# asserted by tests/test_tpu_precision.py.
 _F64_CHUNK = 16384
 
 

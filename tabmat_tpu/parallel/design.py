@@ -288,6 +288,20 @@ class DeviceDesign:
                     )
                 return _Block("dense", arrays, m.shape[1], positions)
             if isinstance(m, SparseMatrix):
+                mirror = m._mirror_ozaki_caches()
+                if mirror is not None:
+                    # narrow sparse rides the MXU as its exact dense mirror
+                    QX, eX, QXT, eXT = mirror
+                    return _Block(
+                        "dense",
+                        {
+                            "X": m._dense_mirror(),
+                            "ozk_QXT": QXT, "ozk_eXT": eXT,
+                            "ozk_QX": QX, "ozk_eX": eX,
+                        },
+                        m.shape[1],
+                        positions,
+                    )
                 data_r, cols_r, bounds_r = m._csr_parts()
                 data_c, rows_c, bounds_c = m._csc_parts()
                 return _Block(
@@ -448,6 +462,8 @@ class DeviceDesign:
         kinds = {b.kind for b in self.blocks}
         if not kinds <= {"dense", "cat", "catstack"}:
             return False
+        if sum(b.kind == "dense" for b in self.blocks) > 1:
+            return False  # explicit assembly assumes a single dense block
         for b in self.blocks:
             if b.kind == "catstack":
                 widths = b.meta
