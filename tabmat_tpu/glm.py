@@ -22,11 +22,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FAMILIES = ("gaussian", "poisson", "logistic", "gamma", "tweedie")
+FAMILIES = (
+    "gaussian",
+    "poisson",
+    "logistic",
+    "gamma",
+    "inverse_gaussian",
+    "tweedie",
+)
+
+# glum-compatible spellings (glum: Normal/Binomial/InverseGaussian etc.)
+_FAMILY_ALIASES = {
+    "normal": "gaussian",
+    "binomial": "logistic",
+    "bernoulli": "logistic",
+    "inverse.gaussian": "inverse_gaussian",
+}
 
 
 def _parse_family(family: str):
     """'tweedie(p)' → ('tweedie', p); other names pass through."""
+    family = _FAMILY_ALIASES.get(family, family)
     if family.startswith("tweedie"):
         if "(" in family:
             power = float(family[family.index("(") + 1 : family.rindex(")")])
@@ -46,6 +62,7 @@ def _family_terms(family: str, eta: jax.Array, y: jax.Array):
     For canonical links the IRLS weight is Var(mu) = dmu/deta and the
     Newton step solves  (Xᵀ W X) δ = Xᵀ (y - mu).
     """
+    family = _FAMILY_ALIASES.get(family, family)
     if family == "gaussian":
         mu = eta
         w = jnp.ones_like(eta)
@@ -61,6 +78,12 @@ def _family_terms(family: str, eta: jax.Array, y: jax.Array):
         mu = jnp.exp(eta)
         w = jnp.ones_like(eta)
         return mu, w, (y - mu) / mu
+    elif family == "inverse_gaussian":
+        # V(mu) = mu³ under the log link: Fisher weight mu^{-1},
+        # score Xᵀ((y - mu)/mu²)
+        mu = jnp.exp(eta)
+        w = 1.0 / mu
+        return mu, w, (y - mu) / (mu * mu)
     elif family.startswith("tweedie"):
         # compound Poisson-gamma with V(mu) = mu^p under the log link:
         # Fisher weight mu^{2-p}, score Xᵀ((y - mu)·mu^{1-p})
@@ -400,6 +423,7 @@ class GeneralizedLinearRegressor:
         inner_precision: str = "float32",
         formula: str = None,
     ):
+        family = _FAMILY_ALIASES.get(family, family)
         if family not in FAMILIES and not family.startswith("tweedie"):
             raise ValueError(f"Unknown family {family!r}; options: {FAMILIES}")
         if family.startswith("tweedie"):

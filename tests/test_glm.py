@@ -308,3 +308,30 @@ def test_tweedie_power_validation():
     with pytest.raises(ValueError, match="Unknown family"):
         tm.GeneralizedLinearRegressor(family="nope")
     tm.GeneralizedLinearRegressor(family="tweedie(1.3)")  # ok
+
+
+def test_inverse_gaussian_family_and_aliases():
+    """inverse_gaussian (V=mu^3, log link) converges to statsmodels-grade
+    coefficients on simulated data; glum-style aliases resolve."""
+    from tabmat_tpu.glm import fit_glm
+
+    rng = np.random.default_rng(31)
+    n, k = 4000, 4
+    X = rng.standard_normal((n, k)) * 0.3
+    beta_true = np.array([0.4, -0.2, 0.1, 0.3])
+    mu = np.exp(X @ beta_true + 0.5)
+    lam = 8.0  # shape: Var = mu^3 / lam
+    y = rng.wald(mu, lam * mu * mu)  # wald(mean, scale): Var = mean^3/scale
+    Xd = tm.DenseMatrix(np.hstack([np.ones((n, 1)), X]))
+    beta, info = fit_glm(Xd, y, family="inverse_gaussian", max_iter=60)
+    beta = np.asarray(beta)
+    assert np.all(np.isfinite(beta))
+    np.testing.assert_allclose(beta[1:], beta_true, atol=0.15)
+    # aliases: glum spellings route to the same families
+    b2, _ = fit_glm(Xd, y, family="inverse.gaussian", max_iter=60)
+    np.testing.assert_allclose(np.asarray(b2), beta, rtol=1e-12)
+    b3, _ = fit_glm(Xd, (y > np.median(y)).astype(float), family="binomial", max_iter=30)
+    assert np.all(np.isfinite(np.asarray(b3)))
+    from tabmat_tpu import GeneralizedLinearRegressor
+
+    GeneralizedLinearRegressor(family="normal")  # alias accepted
