@@ -128,12 +128,15 @@ def _gather_kernel_2plane(t0_ref, t1_ref, c_ref, o0_ref, o1_ref):
     o1_ref[:] = o1
 
 
-@jax.jit
-def _gather_f32(table: jax.Array, codes2d: jax.Array) -> jax.Array:
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n",))
+def _gather_f32(table: jax.Array, codes2d: jax.Array, n: int) -> jax.Array:
     tab2d = _pad_table_2d(table)
     C = tab2d.shape[0]
     R = codes2d.shape[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_kernel_1plane,
         grid=(R // BR,),
         in_specs=[
@@ -143,10 +146,11 @@ def _gather_f32(table: jax.Array, codes2d: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((BR, LANE), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, LANE), table.dtype),
     )(tab2d, codes2d)
+    return out.reshape(-1)[:n]
 
 
-@jax.jit
-def _gather_f64(table: jax.Array, codes2d: jax.Array) -> jax.Array:
+@_partial(jax.jit, static_argnames=("n",))
+def _gather_f64(table: jax.Array, codes2d: jax.Array, n: int) -> jax.Array:
     hi = table.astype(jnp.float32)
     lo = (table - hi.astype(jnp.float64)).astype(jnp.float32)
     t0 = _pad_table_2d(hi)
@@ -170,7 +174,8 @@ def _gather_f64(table: jax.Array, codes2d: jax.Array) -> jax.Array:
             jax.ShapeDtypeStruct((R, LANE), jnp.float32),
         ],
     )(t0, t1, codes2d)
-    return o0.astype(jnp.float64) + o1.astype(jnp.float64)
+    out = o0.astype(jnp.float64) + o1.astype(jnp.float64)
+    return out.reshape(-1)[:n]
 
 
 # largest table routed through the kernel: C = 4096 rows ≈ 524k entries
@@ -197,7 +202,5 @@ def table_gather(table: jax.Array, codes2d: jax.Array, n: int) -> jax.Array:
     :func:`build_codes2d` (structural, cached by the owning matrix).
     """
     if table.dtype == jnp.float64:
-        out = _gather_f64(table, codes2d)
-    else:
-        out = _gather_f32(table, codes2d)
-    return out.reshape(-1)[:n]
+        return _gather_f64(table, codes2d, n)
+    return _gather_f32(table, codes2d, n)

@@ -39,12 +39,15 @@ WCH = 512  # one-hot column chunk: (TILE, WCH) bf16 = 4 MB VMEM
 MAX_W = 1 << 14  # beyond this the one-hot compares lose to the gather plan
 
 
-def supported(num_segments: int, dtype=jnp.float64) -> bool:
+MAX_N = 1 << 24  # per-tile partials memory stays bounded
+
+
+def supported(num_segments: int, dtype=jnp.float64, n: int = 0) -> bool:
     from .._config import on_tpu
 
     if not on_tpu():
         return False
-    if num_segments > MAX_W:
+    if num_segments > MAX_W or n > MAX_N:
         return False
     return jnp.dtype(dtype) in (jnp.float32, jnp.float64)
 

@@ -100,7 +100,9 @@ def build_plan(keys: np.ndarray, num_segments: int) -> SegmentPlan:
     from . import pallas_segsum
 
     codes_col = None
-    if keys32.dtype == np.int32 and pallas_segsum.supported(num_segments):
+    if keys32.dtype == np.int32 and pallas_segsum.supported(
+        num_segments, n=len(keys32)
+    ):
         codes_col = jnp.asarray(pallas_segsum.build_codes_col(keys32))
     return SegmentPlan(
         perm=jnp.asarray(perm),

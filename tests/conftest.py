@@ -18,5 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TABMAT_TPU_TEST_TPU=1 runs the suite against the real chip (used to
+# exercise tests/test_tpu_kernels.py on hardware; CI stays on CPU)
+if os.environ.get("TABMAT_TPU_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
