@@ -123,6 +123,7 @@ class SparseMatrix(MatrixBase):
         self._dev_dense = None
         self._pair_plan = None  # (plan, ia, ib, row) for the pair sandwich
         self._mirror_ozaki = None  # (QX, eX, QXT, eXT) slice caches
+        self._wide_plan = None  # sparse_wide.WideSandwichPlan (huge k)
 
     def __getstate__(self):
         """Pickle only host state; device mirrors rebuild lazily on load."""
@@ -133,6 +134,7 @@ class SparseMatrix(MatrixBase):
         state["_pair_plan"] = None
         state["_array_csr"] = None
         state["_mirror_ozaki"] = None
+        state["_wide_plan"] = None
         return state
 
     # -- device mirrors --------------------------------------------------
@@ -426,6 +428,22 @@ class SparseMatrix(MatrixBase):
                 return S[:k, :k] if S.shape[0] != k else S
             out = np.asarray(S)
             return out[:k, :k] if out.shape[0] != k else out
+
+        # very wide: exact int8-MXU slice products on device
+        from ..ops import sparse_wide
+
+        if is_identity_index(cols, self.shape[1]) and sparse_wide.supported(
+            self.shape[0], self.shape[1], self._array.nnz, self.dtype
+        ):
+            if self._wide_plan is None:
+                self._wide_plan = sparse_wide.WideSandwichPlan(self._array)
+            d_dev = jnp.asarray(d_np)
+            mask = rows_to_mask(
+                None if rows is None else np.asarray(rows), self.shape[0], self.dtype
+            )
+            dm = d_dev if mask is None else d_dev * jnp.asarray(mask)
+            S = sparse_wide.wide_sandwich(self._wide_plan, dm)
+            return S if is_jax_array(d_in) else np.asarray(S)
 
         # wide fallback: host SpGEMM (scipy), exact
         d_host = np.asarray(d_np)
