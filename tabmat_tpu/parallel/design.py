@@ -103,7 +103,7 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
                 )
                 arrays[f"xperm_{a}_{b}"] = jnp.asarray(perm)
                 arrays[f"xbounds_{a}_{b}"] = jnp.asarray(bounds)
-                if pallas_segsum.supported(widths[a] * widths[b]):
+                if pallas_segsum.supported(widths[a] * widths[b], n=len(combined)):
                     arrays[f"xccol_{a}_{b}"] = jnp.asarray(
                         pallas_segsum.build_codes_col(
                             np.asarray(combined, dtype=np.int32)
