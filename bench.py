@@ -142,16 +142,18 @@ def main():
         ),
     )
     _note("dense_sandwich done: %s" % (results["dense_sandwich"],))
+    fold_head_d = jax.jit(lambda o: o[:k] * 0.1)
     results["dense_matvec"] = (
-        _marginal_device(lambda v: dm.matvec(v)[:k] * 0.1, v0),
+        _marginal_device(lambda v: fold_head_d(dm.matvec(v)), v0),
         _marginal_host(lambda v: (X_np @ v)[:k] * 0.1, v0_np),
     )
     _note("dense_matvec done: %s" % (results["dense_matvec"],))
     tile_n = n // k + 1
+    # folds are harness plumbing, not the op under test: keep each to ONE
+    # dispatch (every separate device call costs ~0.4 ms of client overhead)
+    fold_tile_n = jax.jit(lambda o: jnp.tile(o * 1e-4, tile_n)[:n])
     results["dense_tmv"] = (
-        _marginal_device(
-            lambda r: jnp.tile(dm.transpose_matvec(r) * 1e-4, tile_n)[:n], r0
-        ),
+        _marginal_device(lambda r: fold_tile_n(dm.transpose_matvec(r)), r0),
         _marginal_host(lambda r: np.tile(X_np.T @ r * 1e-4, tile_n)[:n], r0_np),
     )
     _note("dense_tmv done: %s" % (results["dense_tmv"],))
@@ -180,16 +182,16 @@ def main():
         ),
     )
     _note("cat_sandwich done: %s" % (results["cat_sandwich"],))
+    fold_head = jax.jit(lambda o: o[:ncat])
     results["cat_matvec"] = (
-        _marginal_device(lambda v: cm.matvec(v)[:ncat], vc0),
+        _marginal_device(lambda v: fold_head(cm.matvec(v)), vc0),
         _marginal_host(lambda v: (C_csr @ v)[:ncat], vc0_np),
     )
     _note("cat_matvec done: %s" % (results["cat_matvec"],))
     tile_c = n // ncat + 1
+    fold_tile_c = jax.jit(lambda o: jnp.tile(o * 1e-2, tile_c)[:n])
     results["cat_tmv"] = (
-        _marginal_device(
-            lambda r: jnp.tile(cm.transpose_matvec(r) * 1e-2, tile_c)[:n], r0
-        ),
+        _marginal_device(lambda r: fold_tile_c(cm.transpose_matvec(r)), r0),
         _marginal_host(lambda r: np.tile(C_csc.T @ r * 1e-2, tile_c)[:n], r0_np),
     )
     _note("cat_tmv done: %s" % (results["cat_tmv"],))
@@ -214,16 +216,16 @@ def main():
         ),
     )
     _note("sparse_sandwich done: %s" % (results["sparse_sandwich"],))
+    fold_head_s = jax.jit(lambda o: o[:ks] * 0.3)
     results["sparse_matvec"] = (
-        _marginal_device(lambda v: sm.matvec(v)[:ks] * 0.3, vs0),
+        _marginal_device(lambda v: fold_head_s(sm.matvec(v)), vs0),
         _marginal_host(lambda v: (S_csr @ v)[:ks] * 0.3, vs0_np),
     )
     _note("sparse_matvec done: %s" % (results["sparse_matvec"],))
     tile_s = ns // ks + 1
+    fold_tile_s = jax.jit(lambda o: jnp.tile(o * 1e-2, tile_s)[:ns])
     results["sparse_tmv"] = (
-        _marginal_device(
-            lambda r: jnp.tile(sm.transpose_matvec(r) * 1e-2, tile_s)[:ns], rs0
-        ),
+        _marginal_device(lambda r: fold_tile_s(sm.transpose_matvec(r)), rs0),
         _marginal_host(lambda r: np.tile(S_sp.T @ r * 1e-2, tile_s)[:ns], rs0_np),
     )
     _note("sparse_tmv done: %s" % (results["sparse_tmv"],))
