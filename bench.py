@@ -336,8 +336,10 @@ def main():
     _note("glm_irls_step_mixed done: %s" % (results["glm_irls_step_mixed"],))
 
     floor_ms = _sync_floor_ms()
-    ours = np.array([v[0] for v in results.values()])
-    base = np.array([v[1] for v in results.values()])
+    # relay jitter can push a differenced marginal slightly negative for
+    # sub-ms ops; clamp so the geomean stays defined (floor = 50 µs)
+    ours = np.maximum([v[0] for v in results.values()], 5e-5)
+    base = np.maximum([v[1] for v in results.values()], 5e-5)
     geo_ms = float(np.exp(np.mean(np.log(ours))) * 1e3)
     speedup = float(np.exp(np.mean(np.log(base / ours))))
 

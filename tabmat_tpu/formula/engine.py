@@ -72,6 +72,11 @@ class MultiNumericSlot:
 
     @property
     def column_names(self) -> list:
+        # interaction products already carry full column names as labels
+        # (re-wrapping them as name[label] would mangle 3-factor terms
+        # like poly(x, 2):a:b)
+        if getattr(self, "_labels_are_full_names", False):
+            return list(self.labels)
         return [f"{self.name}[{lb}]" for lb in self.labels]
 
 
@@ -307,6 +312,16 @@ def _eval_bs(x, args, kwargs, state: Optional[FactorState]):
             [[lo] * (degree + 1), internal, [hi] * (degree + 1)]
         )
     n_basis = len(knots) - degree - 1
+    # out-of-sample values must fail loudly at re-materialization (the
+    # formulaic/patsy contract) — silent boundary clamping would
+    # constant-extrapolate predictions
+    if state is not None and state.bs_knots is not None:
+        oob = (x < knots[0]) | (x > knots[-1])
+        if np.any(oob):
+            raise ValueError(
+                f"bs(): {int(oob.sum())} value(s) outside the training "
+                f"range [{knots[0]:g}, {knots[-1]:g}]."
+            )
     design = BSpline.design_matrix(
         np.clip(x, knots[0], knots[-1]), knots, degree, extrapolate=False
     ).toarray()
@@ -456,7 +471,6 @@ class _Evaluator:
             if st.add_missing_category:
                 # training converted missings; live categories exclude the
                 # missing column which is appended below
-                lookup.pop(missing_name, None)
                 live = [c for c in categories if c != missing_name]
                 lookup = {c: i for i, c in enumerate(live)}
             codes = np.full(len(raw), -1, dtype=np.int64)

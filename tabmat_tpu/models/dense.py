@@ -209,17 +209,10 @@ class DenseMatrix(MatrixBase):
     _OZAKI_CACHE_MAX_ELEMENTS = 1 << 26
 
     def _ozaki_eligible(self) -> bool:
-        from .._config import on_tpu
-        from ..ops.dense_ops import _F64_CHUNK, _f64_mode
+        from ..ops.ozaki import cache_worthwhile
 
         n, k = self.shape
-        return (
-            self.dtype == np.float64
-            and on_tpu()
-            and n > _F64_CHUNK
-            and n * k <= self._OZAKI_CACHE_MAX_ELEMENTS
-            and _f64_mode() == "ozaki"
-        )
+        return cache_worthwhile(n, k, self.dtype, self._OZAKI_CACHE_MAX_ELEMENTS)
 
     def _get_ozaki_cache(self):
         if not self._ozaki_eligible():

@@ -221,16 +221,11 @@ class SparseMatrix(MatrixBase):
         pipeline walks the nonzeros (reference kernel:
         ``tabmat/ext/sparse.pyx:17-77``, an OpenMP CSC walker).
         """
-        from .._config import on_tpu
-        from ..ops.dense_ops import _F64_CHUNK, _f64_mode
+        from ..ops.ozaki import cache_worthwhile
 
         n, k = self.shape
-        if not (
-            on_tpu()
-            and np.dtype(self.dtype) == np.float64
-            and n > _F64_CHUNK
-            and n * k <= self._MIRROR_OZAKI_MAX_ELEMENTS
-            and _f64_mode() == "ozaki"
+        if not cache_worthwhile(
+            n, k, self.dtype, self._MIRROR_OZAKI_MAX_ELEMENTS
         ):
             return None
         dense = self._dense_mirror()

@@ -150,35 +150,69 @@ def slice_matrix_T(X: jax.Array):
     return jnp.transpose(QX, (0, 2, 1)), eX
 
 
+# largest k-contraction whose f32 slice-product accumulation is exact:
+# 2T + log2(k) ≤ 24
+_MATVEC_K_CHUNK = 256
+
+
+def cache_worthwhile(n: int, k: int, dtype, max_elements: int) -> bool:
+    """Should this (n, k) f64 matrix carry Ozaki slice caches on TPU?
+
+    Single predicate for DenseMatrix and the SparseMatrix dense mirror:
+    worthwhile once the emulated dot would need chunking (n > _F64_CHUNK)
+    and the 14-byte/element slice budget fits ``max_elements``.
+    """
+    import numpy as np
+
+    from .._config import on_tpu
+    from .dense_ops import _F64_CHUNK, _f64_mode
+
+    return (
+        np.dtype(dtype) == np.float64
+        and on_tpu()
+        and n > _F64_CHUNK
+        and n * k <= max_elements
+        and _f64_mode() == "ozaki"
+    )
+
+
 @partial(jax.jit, static_argnames=("n",))
 def matvec_cached_T(QXT: jax.Array, eX: jax.Array, v: jax.Array, n=None) -> jax.Array:
     """Exact ``X @ v`` from transposed cached slices (S, k, n).
 
-    The k-contraction is short (k ≤ 2^(24-2T) = 256 keeps every f32
-    accumulation an exact integer sum), so no chunking is needed.  For each
-    X-slice p the admissible v-slices (q ≤ MAX_LEVEL − p) are stacked as
-    matmul ROWS: one (m_p, k) @ (k, n) MXU pass per p — 7 passes, each
-    reading its X-slice once; partials combine in f64 with the tracked
-    exponents.
+    For each X-slice p the admissible v-slices (q ≤ MAX_LEVEL − p) are
+    stacked as matmul ROWS: one (m_p, k) @ (k, n) MXU pass per p — 7
+    passes, each reading its X-slice once; partials combine in f64 with
+    the tracked exponents.  The k-contraction is chunked at 256 (beyond
+    that 2T + log2(k) > 24 and the f32 accumulation would round); for the
+    GLM-typical k ≤ 256 this is a single chunk.
     """
     S_, k, n_full = QXT.shape
     Qv, ev = _slice_vector(eX * v)  # (S, k) bf16, scalar exp
 
     out = jnp.zeros((n_full,), dtype=jnp.float64)
+    n_kc = -(-k // _MATVEC_K_CHUNK)
     for p in range(S):
         m = MAX_LEVEL - p + 1  # v-slices q = 0..MAX_LEVEL-p
         if m <= 0:
             break
-        P = jax.lax.dot_general(
-            Qv[:m], QXT[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (m, n) exact integer f32
+        P = None
+        for c in range(n_kc):
+            lo = c * _MATVEC_K_CHUNK
+            hi = min(k, lo + _MATVEC_K_CHUNK)
+            Pc = jax.lax.dot_general(
+                Qv[:m, lo:hi], QXT[p][lo:hi],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (m, n) exact integer f32 per chunk
+            # cross-chunk accumulation in f64 keeps exactness at any k
+            Pc = Pc.astype(jnp.float64)
+            P = Pc if P is None else P + Pc
         # combine rows with plain elementwise f64 FMAs — an f64 tensordot
         # here lowers to an emulated-f64 contraction (measured 54 ms for
         # what is 1.6 ms of VPU work)
         for q in range(m):
-            out = out + P[q].astype(jnp.float64) * (0.5 ** ((p + q + 2) * T))
+            out = out + P[q] * (0.5 ** ((p + q + 2) * T))
     out = out * ev
     return out if n is None or n == n_full else out[:n]
 

@@ -128,10 +128,7 @@ def _gather_kernel_2plane(t0_ref, t1_ref, c_ref, o0_ref, o1_ref):
     o1_ref[:] = o1
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnames=("n",))
+@partial(jax.jit, static_argnames=("n",))
 def _gather_f32(table: jax.Array, codes2d: jax.Array, n: int) -> jax.Array:
     tab2d = _pad_table_2d(table)
     C = tab2d.shape[0]
@@ -149,7 +146,7 @@ def _gather_f32(table: jax.Array, codes2d: jax.Array, n: int) -> jax.Array:
     return out.reshape(-1)[:n]
 
 
-@_partial(jax.jit, static_argnames=("n",))
+@partial(jax.jit, static_argnames=("n",))
 def _gather_f64(table: jax.Array, codes2d: jax.Array, n: int) -> jax.Array:
     hi = table.astype(jnp.float32)
     lo = (table - hi.astype(jnp.float64)).astype(jnp.float32)

@@ -823,3 +823,37 @@ def test_formulaic_na_handling(input, formula, tests):
     )
     assert mm.shape == (tests[3], len(tests[2]))
     assert list(mm.model_spec.column_names) == tests[2]
+
+
+def test_bs_out_of_range_raises_at_rematerialization():
+    """Re-materializing bs() on out-of-sample values fails loudly
+    (the formulaic/patsy contract), never silently clamps."""
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"x": rng.random(100)})
+    X = tm.from_formula("bs(x, 4) - 1", df)
+    spec = X.model_spec
+    # in-range re-materialization works
+    df2 = pd.DataFrame({"x": rng.random(20)})
+    spec.get_model_matrix(df2)
+    # out-of-range raises
+    df3 = pd.DataFrame({"x": np.array([0.5, 10.0])})
+    with pytest.raises(ValueError, match="outside the training range"):
+        spec.get_model_matrix(df3)
+
+
+def test_three_factor_basis_interaction_names():
+    """poly():a:b keeps formulaic-style names (regression: names were
+    re-wrapped as name[label] at the second interaction)."""
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame(
+        {"x": rng.random(50), "a": rng.random(50), "b": rng.random(50)}
+    )
+    X = tm.from_formula("poly(x, 2, raw=True):a:b - 1", df)
+    assert X.column_names == [
+        "poly(x, 2, raw=True)[1]:a:b",
+        "poly(x, 2, raw=True)[2]:a:b",
+    ]
+    ref = np.column_stack(
+        [df.x * df.a * df.b, df.x**2 * df.a * df.b]
+    )
+    np.testing.assert_allclose(X.toarray(), ref, rtol=1e-12)

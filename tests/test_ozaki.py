@@ -98,3 +98,19 @@ def test_cached_matvec_T_padded_n():
     mv = np.asarray(matvec_cached_T(cache_T[0], cache_T[1], jnp.asarray(v_np), n=n))
     ref = X_np @ v_np
     assert np.abs(mv - ref).max() / max(np.abs(ref).max(), 1e-300) < 1e-13
+
+
+def test_matvec_cached_T_exact_beyond_k256():
+    """k > 256 contractions must chunk: the f32 slice-product accumulator
+    is exact only to k = 2^(24-2T) = 256 (regression: wide-but-eligible
+    designs silently lost ~1e-5 of accuracy before chunking)."""
+    rng = np.random.default_rng(5)
+    n, k = 2048, 512
+    # adversarial: values near the column max keep the leading slice large
+    X = rng.uniform(0.5, 1.0, (n, k)) * rng.choice([-1.0, 1.0], (n, k))
+    v = rng.uniform(0.5, 1.0, k) * rng.choice([-1.0, 1.0], k)
+    QXT, eXT = ozaki.slice_matrix_T(jnp.asarray(X))
+    got = np.asarray(ozaki.matvec_cached_T(QXT, eXT, jnp.asarray(v)))
+    ref = X @ v
+    relerr = np.abs(got - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13, relerr
