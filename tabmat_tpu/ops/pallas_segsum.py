@@ -34,8 +34,11 @@ import numpy as np
 
 from . import ozaki
 
-TILE = 4096  # elements per row-tile: slice-sums stay exact ≤ 2^(8+12) in f32
-WCH = 512  # one-hot column chunk: (TILE, WCH) bf16 = 4 MB VMEM
+TILE = 2048  # elements per row-tile: slice-sums stay exact ≤ 2^(8+11) in f32
+WCH = 1024  # one-hot column chunk: (TILE, WCH) bf16 = 4 MB VMEM
+# (swept on hardware at 1M×10k: (2048,1024) beats (4096,512) by 11% and
+# (8192,256) by 35%; the kernel is VPU-compare-bound — n·W one-hot builds
+# dominate, so slice count and MXU shape barely matter)
 MAX_W = 1 << 14  # beyond this the one-hot compares lose to the gather plan
 
 
