@@ -1,8 +1,15 @@
 """Benchmark CLI: ops × matrix zoo, with numpy/scipy baselines.
 
 Same shape as the reference CLI (``benchmark/main.py:58-383``): choose
-matrices and operations, time min-over-iterations, optionally track peak
-host memory, write CSV.
+matrices and operations, optionally track peak host memory, write CSV.
+
+Device timing uses the **chained-marginal protocol** (see ``bench.py`` and
+``docs/tpu_platform_notes.md``): each op runs as a self-feeding chain
+closed by one scalar fetch, and the per-op cost is the difference of two
+chain lengths — this cancels the relay's ~30 ms synchronous-observation
+floor and defeats its request memoization, measuring steady-state device
+throughput (the production access pattern).  Host baselines use plain
+min-of-averages (nothing to cancel there).
 
 Example::
 
@@ -19,11 +26,10 @@ from .generate import get_all_benchmark_matrices
 from .memory import track_peak_mem
 
 OPS = ("matvec", "transpose-matvec", "sandwich")
+K1, K2 = 3, 13  # chain lengths for the device marginal differencing
 
 
 def _block(res):
-    import jax
-
     if isinstance(res, (list, tuple)):
         for r in res:
             _block(r)
@@ -34,23 +40,59 @@ def _block(res):
     return res
 
 
-def _get_op_fn(mat, op, use_device_vectors=True):
+def _sandwich_probe(S):
+    """A scalar of a sandwich result (dense (k,k) or DiagonalResult)."""
+    import jax.numpy as jnp
+
+    if hasattr(S, "diag"):
+        return S.diag[0]
+    return jnp.ravel(S)[0]
+
+
+def _get_chain_step(mat, op):
+    """Self-feeding device chain step and its initial state for ``op``."""
+    import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
+    n, k = mat.shape
     if op == "matvec":
-        v = rng.standard_normal(mat.shape[1])
-        v = jnp.asarray(v) if use_device_vectors else v
-        return lambda: _block(mat.matvec(v))
+        x0 = jnp.asarray(rng.standard_normal(k))
+        tile_k = k // n + 1
+        fold = jax.jit(lambda o: jnp.tile(o * 0.1, tile_k)[:k])
+        return (lambda x: fold(mat.matvec(x))), x0
     if op == "transpose-matvec":
-        v = rng.standard_normal(mat.shape[0])
-        v = jnp.asarray(v) if use_device_vectors else v
-        return lambda: _block(mat.transpose_matvec(v))
+        x0 = jnp.asarray(rng.standard_normal(n))
+        tile = n // k + 1
+        fold = jax.jit(lambda o: jnp.tile(o * 1e-2, tile)[:n])
+        return (lambda x: fold(mat.transpose_matvec(x))), x0
     if op == "sandwich":
-        d = rng.random(mat.shape[0])
-        d = jnp.asarray(d) if use_device_vectors else d
-        return lambda: _block(mat.sandwich(d))
+        d0 = jnp.asarray(rng.random(n))
+        return (lambda x: d0 * (1.0 + 1e-9 * _sandwich_probe(mat.sandwich(x)))), d0
     raise ValueError(op)
+
+
+def _marginal_device(step, x0):
+    import jax.numpy as jnp
+
+    def run(K, seed):
+        x = x0 * (1.0 + jnp.asarray(float(seed), dtype=x0.dtype) * 1e-9)
+        for _ in range(K):
+            x = step(x)
+        np.asarray(jnp.ravel(x)[0])
+
+    run(2, 17)  # compile / warm
+    best = float("inf")
+    seed = 0
+    for _ in range(2):
+        ts = {}
+        for K in (K1, K2):
+            seed += 1
+            t0 = time.perf_counter()
+            run(K, seed)
+            ts[K] = time.perf_counter() - t0
+        best = min(best, (ts[K2] - ts[K1]) / (K2 - K1))
+    return max(best, 5e-5)
 
 
 def _get_baseline_fn(mat, op):
@@ -86,23 +128,19 @@ def _get_baseline_fn(mat, op):
 def run_one_benchmark_set(mat, name, ops, n_iterations, include_baseline, bench_memory):
     rows = []
     for op in ops:
-        fn = _get_op_fn(mat, op)
-        fn()  # warmup / compile
-        best = float("inf")
-        for _ in range(n_iterations):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
+        step, x0 = _get_chain_step(mat, op)
+        best = _marginal_device(step, x0)
         row = {"matrix": name, "operation": op, "library": "tabmat_tpu", "time_s": best}
         if bench_memory:
-            row["peak_mem_bytes"] = track_peak_mem(fn)
+            sync_fn = lambda: _block(step(x0))  # noqa: E731
+            row["peak_mem_bytes"] = track_peak_mem(sync_fn)
         rows.append(row)
 
         if include_baseline:
             bfn = _get_baseline_fn(mat, op)
-            bfn()
+            bfn()  # warm
             bbest = float("inf")
-            for _ in range(max(n_iterations // 10, 2)):
+            for _ in range(max(n_iterations // 10, 3)):
                 t0 = time.perf_counter()
                 bfn()
                 bbest = min(bbest, time.perf_counter() - t0)
