@@ -90,8 +90,29 @@ class CategoricalSlot:
     name: str
 
 
+@dataclass
+class BundleSlot:
+    """An ordered bundle of slots materializing side by side.
+
+    Produced by basis × categorical interactions (``poly(x, 2):c``): each
+    basis column interacts with the categorical independently, yielding one
+    member slot per basis column (basis-major, category-fastest column
+    order — matching how the categorical algebra expands everywhere else).
+    """
+
+    members: list
+    name: str
+
+
 def interact(left, right, separator=":"):
     """Interact two slots (order-preserving names)."""
+    if isinstance(left, BundleSlot) or isinstance(right, BundleSlot):
+        lm = left.members if isinstance(left, BundleSlot) else [left]
+        rm = right.members if isinstance(right, BundleSlot) else [right]
+        return BundleSlot(
+            [interact(a, b, separator) for a in lm for b in rm],
+            name=f"{left.name}{separator}{right.name}",
+        )
     if isinstance(left, MultiNumericSlot) or isinstance(right, MultiNumericSlot):
         return _interact_multi(left, right, separator)
     if isinstance(left, NumericSlot) and isinstance(right, NumericSlot):
@@ -134,15 +155,26 @@ def _interact_multi(left, right, separator):
     """Interactions involving a multi-column numeric basis factor.
 
     numeric × multi and multi × multi cross every column pair
-    (left-fastest ordering, consistent with the categorical algebra).
-    Basis × categorical interactions are not supported (the reference's
-    formulaic backend spreads these into per-column model terms; out of
-    scope here — raise a clear error instead of silently mis-encoding).
+    (left-fastest ordering, consistent with the categorical algebra);
+    multi × categorical spreads into a BundleSlot — one per-basis-column
+    categorical interaction, materialized side by side (the reference's
+    formulaic backend spreads these the same way).
     """
     if isinstance(left, CategoricalSlot) or isinstance(right, CategoricalSlot):
-        raise NotImplementedError(
-            "Interactions between basis factors (poly/bs) and categorical "
-            "factors are not supported."
+        # basis × categorical: one member per basis column, each a
+        # categorical slot carrying that column as its multiplier
+        if isinstance(left, MultiNumericSlot):
+            multi, other, multi_left = left, right, True
+        else:
+            multi, other, multi_left = right, left, False
+        names = multi.column_names
+        members = []
+        for i in range(multi.values.shape[1]):
+            col = NumericSlot(values=multi.values[:, i], name=names[i])
+            pair = (col, other) if multi_left else (other, col)
+            members.append(interact(pair[0], pair[1], separator))
+        return BundleSlot(
+            members, name=f"{left.name}{separator}{right.name}"
         )
     lv = left.values if left.values.ndim == 2 else left.values[:, None]
     rv = right.values if right.values.ndim == 2 else right.values[:, None]
@@ -893,15 +925,19 @@ def _materialize(
         )
         spanned.add(frozenset(term.factors))
 
-        if isinstance(combined, NumericSlot):
-            mat = _numeric_to_matrix(combined, dtype, sparse_threshold)
-        elif isinstance(combined, MultiNumericSlot):
-            mat = _multi_to_matrix(combined, dtype, sparse_threshold)
-        else:
-            mat = _categorical_to_matrix(
-                combined, dtype, sparse_threshold, cat_threshold
-            )
-        _append(mat, term.name(interaction_separator))
+        members = (
+            combined.members if isinstance(combined, BundleSlot) else [combined]
+        )
+        for piece in members:
+            if isinstance(piece, NumericSlot):
+                mat = _numeric_to_matrix(piece, dtype, sparse_threshold)
+            elif isinstance(piece, MultiNumericSlot):
+                mat = _multi_to_matrix(piece, dtype, sparse_threshold)
+            else:
+                mat = _categorical_to_matrix(
+                    piece, dtype, sparse_threshold, cat_threshold
+                )
+            _append(mat, term.name(interaction_separator))
 
     if not matrices:
         raise ValueError(f"Formula {spec.formula!r} produced no columns.")

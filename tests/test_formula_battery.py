@@ -448,16 +448,33 @@ def _slot_to_array(slot):
 def test_interact_slots(left_key, right_key):
     """Value-level parity of the interaction algebra (reference :637-685).
 
-    cat × multi is unsupported (documented) — expect the explicit error.
+    cat × multi spreads into a BundleSlot of per-basis-column categorical
+    interactions; verified against the dense outer product.
     """
+    from tabmat_tpu.formula.engine import BundleSlot
+
     slots = _slot_instances()
     left, right = slots[left_key], slots[right_key]
     is_cat = lambda s: isinstance(s, CategoricalSlot)  # noqa: E731
     is_multi = lambda s: isinstance(s, MultiNumericSlot)  # noqa: E731
 
     if (is_cat(left) and is_multi(right)) or (is_multi(left) and is_cat(right)):
-        with pytest.raises(NotImplementedError):
-            interact(left, right)
+        result = interact(left, right)
+        assert isinstance(result, BundleSlot)
+        got = np.column_stack([_slot_to_array(m) for m in result.members])
+        left_np, right_np = _slot_to_array(left), _slot_to_array(right)
+        multi_np, cat_np = (
+            (left_np, right_np) if is_multi(left) else (right_np, left_np)
+        )
+        # basis-major, category-fastest
+        expected = np.column_stack(
+            [
+                multi_np[:, i] * cat_np[:, j]
+                for i in range(multi_np.shape[1])
+                for j in range(cat_np.shape[1])
+            ]
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-12)
         return
 
     result = interact(left, right)
@@ -857,3 +874,36 @@ def test_three_factor_basis_interaction_names():
         [df.x * df.a * df.b, df.x**2 * df.a * df.b]
     )
     np.testing.assert_allclose(X.toarray(), ref, rtol=1e-12)
+
+
+def test_basis_categorical_interaction():
+    """poly(x, k):c spreads into per-basis-column categorical interactions
+    (formulaic parity; was NotImplementedError)."""
+    rng = np.random.default_rng(3)
+    n = 200
+    df = pd.DataFrame(
+        {"x": rng.random(n), "c": pd.Categorical(rng.choice(list("abc"), n))}
+    )
+    X = tm.from_formula("poly(x, 2, raw=True):c - 1", df)
+    assert X.column_names == [
+        "poly(x, 2, raw=True)[1]:c[a]",
+        "poly(x, 2, raw=True)[1]:c[b]",
+        "poly(x, 2, raw=True)[1]:c[c]",
+        "poly(x, 2, raw=True)[2]:c[a]",
+        "poly(x, 2, raw=True)[2]:c[b]",
+        "poly(x, 2, raw=True)[2]:c[c]",
+    ]
+    onehot = pd.get_dummies(df.c).values.astype(float)
+    ref = np.column_stack(
+        [df.x ** (i + 1) * onehot[:, j] for i in range(2) for j in range(3)]
+    )
+    np.testing.assert_allclose(X.toarray(), ref, rtol=1e-12)
+    # stateful re-materialization keeps levels and names
+    df2 = pd.DataFrame(
+        {"x": rng.random(40), "c": pd.Categorical(rng.choice(list("ab"), 40))}
+    )
+    X2 = X.model_spec.get_model_matrix(df2)
+    assert X2.column_names == X.column_names
+    # full product with full-rank reduction under an explicit intercept
+    X3 = tm.from_formula("1 + poly(x, 2, raw=True)*c", df, ensure_full_rank=True)
+    assert X3.shape[1] == 1 + 2 + 2 + 4  # intercept + poly + c-reduced + inter
