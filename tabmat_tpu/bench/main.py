@@ -157,6 +157,7 @@ def run_one_benchmark_set(mat, name, ops, n_iterations, include_baseline, bench_
 
 @click.command()
 @click.option("--matrix_name", default=None, help="comma-separated design names")
+@click.option("--ops", default=None, help="comma-separated op subset (default: all)")
 @click.option("--n_iterations", default=20, type=int)
 @click.option("--include_baseline", is_flag=True)
 @click.option("--bench_memory", is_flag=True)
@@ -169,10 +170,11 @@ def run_one_benchmark_set(mat, name, ops, n_iterations, include_baseline, bench_
     help="capture a jax.profiler trace of the benchmark into this directory",
 )
 def run_all_benchmarks(
-    matrix_name, n_iterations, include_baseline, bench_memory, standardized, scale,
-    output, profile_dir
+    matrix_name, ops, n_iterations, include_baseline, bench_memory, standardized,
+    scale, output, profile_dir
 ):
     """Run the benchmark suite and print/save results."""
+    ops = tuple(ops.split(",")) if ops else OPS
     if profile_dir:
         import jax
 
@@ -190,7 +192,7 @@ def run_all_benchmarks(
 
             mat = tm.StandardizedMatrix(mat, np.zeros(mat.shape[1]))
         rows = run_one_benchmark_set(
-            mat, name, OPS, n_iterations, include_baseline, bench_memory
+            mat, name, ops, n_iterations, include_baseline, bench_memory
         )
         all_rows.extend(rows)
         for r in rows:
