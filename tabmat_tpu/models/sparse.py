@@ -124,6 +124,8 @@ class SparseMatrix(MatrixBase):
         self._pair_plan = None  # (plan, ia, ib, row) for the pair sandwich
         self._mirror_ozaki = None  # (QX, eX, QXT, eXT) slice caches
         self._wide_plan = None  # sparse_wide.WideSandwichPlan (huge k)
+        self._cols2d_dev = None  # Pallas gather layout of CSR col indices
+        self._rows2d_dev = None  # Pallas gather layout of CSC row indices
 
     def __getstate__(self):
         """Pickle only host state; device mirrors rebuild lazily on load."""
@@ -135,6 +137,8 @@ class SparseMatrix(MatrixBase):
         state["_array_csr"] = None
         state["_mirror_ozaki"] = None
         state["_wide_plan"] = None
+        state["_cols2d_dev"] = None
+        state["_rows2d_dev"] = None
         return state
 
     # -- device mirrors --------------------------------------------------
@@ -238,6 +242,35 @@ class SparseMatrix(MatrixBase):
             QXT, eXT = ozaki.slice_matrix_T(dense)
             self._mirror_ozaki = (QX, eX, QXT, eXT)
         return self._mirror_ozaki
+
+    def _pallas_cols2d(self, dtype):
+        """Structural CSR-column gather layout (matvec: table = v, len k)."""
+        from ..ops import pallas_gather
+
+        if not pallas_gather.supported(self.shape[1], dtype):
+            return None
+        if self._cols2d_dev is None:
+            csr = self.array_csr
+            self._cols2d_dev = jnp.asarray(
+                pallas_gather.build_codes2d(
+                    csr.indices.astype(np.int32, copy=False)
+                )
+            )
+        return self._cols2d_dev
+
+    def _pallas_rows2d(self, dtype):
+        """Structural CSC-row gather layout (tmv: table = r, len n)."""
+        from ..ops import pallas_gather
+
+        if not pallas_gather.supported(self.shape[0], dtype):
+            return None
+        if self._rows2d_dev is None:
+            self._rows2d_dev = jnp.asarray(
+                pallas_gather.build_codes2d(
+                    self._array.indices.astype(np.int32, copy=False)
+                )
+            )
+        return self._rows2d_dev
 
     # -- scipy-compatible surface -----------------------------------------
 
@@ -521,7 +554,15 @@ class SparseMatrix(MatrixBase):
                 )
             elif vec.ndim == 1:
                 data, row_idx, col_bounds = self._csc_parts()
-                res_full = sparse_ops.csc_rmatvec(data, row_idx, col_bounds, v_eff)
+                rows2d = self._pallas_rows2d(v_eff.dtype)
+                if rows2d is not None:
+                    res_full = sparse_ops.csc_rmatvec_pg(
+                        data, rows2d, col_bounds, v_eff
+                    )
+                else:
+                    res_full = sparse_ops.csc_rmatvec(
+                        data, row_idx, col_bounds, v_eff
+                    )
             else:
                 data, row_idx, col_bounds = self._csc_parts()
                 res_full = sparse_ops.csc_rmatmat(data, row_idx, col_bounds, v_eff)
@@ -559,7 +600,11 @@ class SparseMatrix(MatrixBase):
                 res = ozaki.matvec_cached_T(mirror[2], mirror[3], v_eff)
             elif vec.ndim == 1:
                 data, col_idx, row_bounds = self._csr_parts()
-                res = sparse_ops.csr_matvec(data, col_idx, row_bounds, v_eff)
+                cols2d = self._pallas_cols2d(v_eff.dtype)
+                if cols2d is not None:
+                    res = sparse_ops.csr_matvec_pg(data, cols2d, row_bounds, v_eff)
+                else:
+                    res = sparse_ops.csr_matvec(data, col_idx, row_bounds, v_eff)
             else:
                 data, col_idx, row_bounds = self._csr_parts()
                 res = sparse_ops.csr_matmat(data, col_idx, row_bounds, v_eff)

@@ -61,6 +61,34 @@ def csc_rmatvec(
 
 
 @jax.jit
+def csr_matvec_pg(
+    data: jax.Array, cols2d: jax.Array, row_bounds: jax.Array, v: jax.Array
+) -> jax.Array:
+    """CSR matvec with the nnz→v gather on the Pallas lane-shuffle kernel.
+
+    XLA's gather is element-serial (~13 ns/nnz); with the structural
+    (R, 128) column layout the same gather runs 5–15× faster for tables
+    (= v) up to ~500k entries.  Used when no dense-mirror route exists
+    (wide sparse matrices).
+    """
+    from . import pallas_gather
+
+    t = data * pallas_gather.table_gather(v, cols2d, data.shape[0])
+    return bounded_segment_sum(t, row_bounds)
+
+
+@jax.jit
+def csc_rmatvec_pg(
+    data: jax.Array, rows2d: jax.Array, col_bounds: jax.Array, v: jax.Array
+) -> jax.Array:
+    """CSC transpose-matvec with the nnz→v gather on the Pallas kernel."""
+    from . import pallas_gather
+
+    t = data * pallas_gather.table_gather(v, rows2d, data.shape[0])
+    return bounded_segment_sum(t, col_bounds)
+
+
+@jax.jit
 def csc_rmatmat(
     data: jax.Array, row_idx: jax.Array, col_bounds: jax.Array, V: jax.Array
 ) -> jax.Array:
