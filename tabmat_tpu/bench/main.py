@@ -105,8 +105,22 @@ def _get_baseline_fn(mat, op):
     except Exception:
         pass
     if not isinstance(arr, np.ndarray) and not sps.issparse(arr):
-        # mixed/categorical designs: scipy CSR of the full matrix
-        arr = sps.csr_matrix(mat.toarray())
+        if hasattr(mat, "tocsr"):
+            # categorical: scipy one-hot CSR (never densify 1M×100k)
+            arr = mat.tocsr()
+        elif hasattr(mat, "matrices"):
+            # split designs: hstack per-block CSRs
+            arr = sps.hstack(
+                [
+                    m.tocsr()
+                    if hasattr(m, "tocsr")
+                    else sps.csr_matrix(np.asarray(m.toarray()))
+                    for m in mat.matrices
+                ],
+                format="csr",
+            )
+        else:
+            arr = sps.csr_matrix(mat.toarray())
     if isinstance(arr, (np.ndarray,)) and hasattr(arr, "device"):
         arr = np.asarray(arr)
 
