@@ -406,3 +406,15 @@ def test_standardize_scale_only(mat):
     exp_stds = np.sqrt((w[:, None] * (arr - exp_means) ** 2).sum(0))
     mult = np.where(np.abs(exp_stds) < 1e-7, 1.0, 1 / np.where(exp_stds == 0, 1, exp_stds))
     np.testing.assert_allclose(std.toarray(), arr * mult, atol=1e-12)
+
+
+def test_zero_sd_cols_standardize():
+    """Zero-variance columns keep mult == 1 (reference
+    test_standardized_mat.py:42-46): standardize never divides by ~0."""
+    n_rows = 100
+    weights = np.ones(n_rows) / n_rows
+    X, means, stds = tm.DenseMatrix(np.ones([n_rows, 1])).standardize(
+        weights, True, True
+    )
+    np.testing.assert_allclose(np.asarray(X.mult), [1.0])
+    assert np.all(np.isfinite(np.asarray(X.toarray())))
