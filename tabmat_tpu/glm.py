@@ -360,15 +360,19 @@ def fit_glm(
     if l1 > 0:
         # elastic net → FISTA epochs (IRLS can't handle the nonsmooth term)
         mv, tmv = _make_mv_tmv(X)
-        # Lipschitz bound of the smooth part: weight cap per family
-        caps = {"gaussian": 1.0, "logistic": 0.25, "poisson": None, "gamma": 1.0}
-        w_cap = None if family.startswith("tweedie") else caps[family]
+        # Lipschitz bound of the smooth part: the IRLS weight is bounded for
+        # gaussian/logistic/gamma; poisson (w=mu), inverse_gaussian (w=1/mu)
+        # and tweedie (w=mu^{2-p}) are unbounded in mu, so estimate at w=1
+        # and add step slack below
+        family_base, _ = _parse_family(family)
+        caps = {"gaussian": 1.0, "logistic": 0.25, "gamma": 1.0}
+        w_cap = caps.get(family_base)
         w_est = sample_weight * (w_cap if w_cap is not None else 1.0)
         L = _power_iteration_lipschitz(
             mv, tmv, w_est, X.shape[1], beta.dtype
         ) + l2
-        if family == "poisson":
-            L *= 4.0  # slack for mu > 1 regions near the optimum
+        if w_cap is None:
+            L *= 4.0  # slack for the mu-dependent weight near the optimum
         step = jnp.asarray(0.95 / max(L, 1e-30), beta.dtype)
         for it in range(max_iter):
             new_beta = fista_epoch(

@@ -17,7 +17,6 @@ argsort/cumsum SegmentPlan (no atomics/scatter); cross-products against
 dense blocks become segment-summed row reductions (see ``SplitMatrix``).
 """
 
-import re
 import warnings
 import weakref
 from typing import Optional
@@ -515,14 +514,24 @@ class CategoricalMatrix(MatrixBase):
     # -- conversions ----------------------------------------------------------
 
     def getcol(self, i: int):
-        """Column ``i`` as a single-column SparseMatrix (wrap-around index)."""
+        """Column ``i`` as a single-column SparseMatrix (wrap-around index).
+
+        Built from the *effective* codes (drop_first shift and missing mask
+        already folded in), so one indicator comparison covers every config.
+        """
         from scipy import sparse as sps
 
         from .sparse import SparseMatrix
 
-        i %= self.shape[1]
-        i_corr = i + 1 if self.drop_first else i
-        col_i = sps.csc_matrix((self.indices == i_corr).astype(int)[:, None])
+        i = int(i) % self.shape[1]
+        hits = np.flatnonzero(self._eff_codes_np == i)
+        col_i = sps.csc_matrix(
+            (
+                np.ones(hits.size, dtype=int),
+                (hits, np.zeros(hits.size, dtype=np.int32)),
+            ),
+            shape=(self.shape[0], 1),
+        )
         return SparseMatrix(
             col_i,
             column_names=[self.column_names[i]],
@@ -567,18 +576,27 @@ class CategoricalMatrix(MatrixBase):
         return self.tocsr().toarray().astype(self.dtype)
 
     def recover_orig(self) -> np.ndarray:
-        """Reconstruct the original category-valued vector (masked where missing)."""
-        orig = self.categories[self.indices]
+        """Reconstruct the original category-valued vector (masked where missing).
+
+        Values come straight from the category table; the only question is
+        which code (if any) marks a missing entry: the -1 sentinel when raw
+        missings were kept, or the appended missing category under
+        ``cat_missing_method="convert"``.
+        """
         if self._has_missings:
-            orig = orig.view(np.ma.MaskedArray)
-            orig.mask = self.indices == -1
+            missing_code = -1
         elif (
             self._missing_method == "convert"
             and self._missing_category in self.categories
         ):
-            orig = orig.view(np.ma.MaskedArray)
-            orig.mask = self.indices == len(self.categories) - 1
-        return orig
+            missing_code = len(self.categories) - 1
+        else:
+            missing_code = None
+
+        values = self.categories[self.indices]
+        if missing_code is None:
+            return values
+        return np.ma.array(values, mask=self.indices == missing_code)
 
     @property
     def cat(self):
@@ -693,31 +711,50 @@ class CategoricalMatrix(MatrixBase):
             ]
         return [name] * (len(self.categories) - self.drop_first)
 
+    def _strip_category_decoration(self, formatted, category):
+        """Invert ``_colname_format`` for one column: recover the name field.
+
+        The format template is split around its ``{name}`` placeholder into a
+        literal prefix/suffix pair; a formatted column name that carries both
+        has the base name sitting in between.  No regexes needed.
+        """
+        if formatted is None:
+            return None
+        template = self._colname_format.format(name="\x00", category=category)
+        prefix, sep, suffix = template.partition("\x00")
+        if not sep:
+            return formatted  # format has no {name} field: nothing to strip
+        if (
+            len(formatted) >= len(prefix) + len(suffix)
+            and formatted.startswith(prefix)
+            and formatted.endswith(suffix)
+        ):
+            return formatted[len(prefix) : len(formatted) - len(suffix)]
+        return formatted
+
     def set_names(self, names, type: str = "column"):
         """Set the single base name (parses formatted names back if needed)."""
+        attr = {"column": "_colname", "term": "_term"}.get(type)
+        if attr is None:
+            raise ValueError(f"Type must be 'column' or 'term', got {type}")
+
         if isinstance(names, str):
             names = [names]
+        names = list(names)
 
-        if len(names) != 1:
+        if len(names) > 1:
+            # per-column spellings: undo the category decoration, then
+            # collapse if one base name covers every column
             if type == "column":
-                base_names = []
-                for name, cat in zip(names, self.categories[self.drop_first :]):
-                    partial_name = self._colname_format.format(
-                        name="__CAPTURE__", category=cat
+                names = [
+                    self._strip_category_decoration(nm, cat)
+                    for nm, cat in zip(
+                        names, self.categories[self.drop_first :]
                     )
-                    pattern = re.escape(partial_name).replace("__CAPTURE__", "(.*)")
-                    match = re.search(pattern, name) if name is not None else None
-                    base_names.append(match.group(1) if match else name)
-                names = base_names
-            if len(names) == self.shape[1] and all(nm == names[0] for nm in names):
-                names = [names[0]]
+                ]
+            if len(names) == self.shape[1] and len(set(names)) == 1:
+                names = names[:1]
 
         if len(names) != 1:
             raise ValueError("A categorical matrix has only one name")
-
-        if type == "column":
-            self._colname = names[0]
-        elif type == "term":
-            self._term = names[0]
-        else:
-            raise ValueError(f"Type must be 'column' or 'term', got {type}")
+        setattr(self, attr, names[0])

@@ -79,52 +79,47 @@ def check_sandwich_compatible(mat, d) -> None:
         )
 
 
+def _flatten_axis_key(key):
+    """Canonicalize a single-axis key: slices pass, array-likes flatten to 1-d."""
+    if isinstance(key, slice):
+        return key
+    arr = np.asarray(key)
+    if arr.ndim > 1:
+        raise ValueError(
+            "Indexing would result in a matrix with more than 2 dimensions."
+        )
+    return arr.reshape(-1)
+
+
 def _check_indexer(indexer):
     """Validate a ``__getitem__`` key and return a canonical (row, col) pair.
 
-    Canonical forms match the reference contract (``tabmat/util.py:70-116``):
-    slices pass through; 1-d array-likes are flattened; a pair of arrays is
-    turned into an ``np.ix_``-style open mesh; ``np.ix_``-ed inputs are
-    accepted as-is; anything higher-dimensional raises.
+    Canonical forms (same public contract as the reference, own derivation):
+    slices pass through; a 1-d array-like paired with a slice is flattened;
+    two array-likes become an ``np.ix_``-style open mesh (pre-meshed
+    ``np.ix_`` output is recognized and kept); anything else raises.
     """
     if not isinstance(indexer, tuple):
-        indexer = (indexer, slice(None, None, None))
-
+        indexer = (indexer, slice(None))
     if len(indexer) > 2:
         raise ValueError("More than two indexers are not supported.")
+    row_key, col_key = indexer
 
-    row_indexer, col_indexer = indexer
+    n_slices = isinstance(row_key, slice) + isinstance(col_key, slice)
+    if n_slices > 0:
+        # at most one fancy axis: flatten it (or pass both slices through)
+        return _flatten_axis_key(row_key), _flatten_axis_key(col_key)
 
-    if isinstance(row_indexer, slice):
-        if isinstance(col_indexer, slice):
-            return row_indexer, col_indexer
-        col_indexer = np.asarray(col_indexer)
-        if col_indexer.ndim > 1:
-            raise ValueError(
-                "Indexing would result in a matrix with more than 2 dimensions."
-            )
-        return row_indexer, col_indexer.reshape(-1)
-
-    if isinstance(col_indexer, slice):
-        row_indexer = np.asarray(row_indexer)
-        if row_indexer.ndim > 1:
-            raise ValueError(
-                "Indexing would result in a matrix with more than 2 dimensions."
-            )
-        return row_indexer.reshape(-1), col_indexer
-
-    row_indexer = np.asarray(row_indexer)
-    col_indexer = np.asarray(col_indexer)
-    if row_indexer.ndim <= 1 and col_indexer.ndim <= 1:
-        return np.ix_(row_indexer.reshape(-1), col_indexer.reshape(-1))
-    if (
-        row_indexer.ndim == 2
-        and row_indexer.shape[1] == 1
-        and col_indexer.ndim == 2
-        and col_indexer.shape[0] == 1
-    ):
-        # np.ix_-style pre-meshed indices
-        return row_indexer, col_indexer
+    # two fancy axes: produce (or accept) an open mesh selecting a submatrix
+    row_arr = np.asarray(row_key)
+    col_arr = np.asarray(col_key)
+    if max(row_arr.ndim, col_arr.ndim) <= 1:
+        return np.ix_(row_arr.reshape(-1), col_arr.reshape(-1))
+    if (row_arr.ndim, col_arr.ndim) == (2, 2) and (
+        row_arr.shape[1],
+        col_arr.shape[0],
+    ) == (1, 1):
+        return row_arr, col_arr  # already an np.ix_-shaped mesh
     raise ValueError("This type of indexing is not supported.")
 
 

@@ -335,3 +335,44 @@ def test_inverse_gaussian_family_and_aliases():
     from tabmat_tpu import GeneralizedLinearRegressor
 
     GeneralizedLinearRegressor(family="normal")  # alias accepted
+
+
+@pytest.mark.parametrize(
+    "family",
+    [
+        "gaussian",
+        "poisson",
+        "logistic",
+        "gamma",
+        "inverse_gaussian",
+        "tweedie(1.5)",
+        "normal",
+        "binomial",
+        "inverse.gaussian",
+    ],
+)
+def test_l1_all_families_fit(family):
+    """Every family (and alias) must fit with l1 > 0 (VERDICT r2 #7).
+
+    Regression: ``caps[family]`` used to KeyError for inverse_gaussian and
+    any alias-spelled family on the FISTA path.
+    """
+    rng = np.random.default_rng(7)
+    n, k = 400, 6
+    X = rng.standard_normal((n, k)) * 0.3
+    beta_true = np.array([0.5, -0.4, 0.3, 0.0, 0.0, 0.0])
+    eta = X @ beta_true
+    mu = np.exp(eta)
+    if family in ("logistic", "binomial"):
+        y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(np.float64)
+    elif family == "poisson":
+        y = rng.poisson(mu).astype(np.float64)
+    elif family in ("gaussian", "normal"):
+        y = eta + 0.1 * rng.standard_normal(n)
+    else:
+        # positive-response families: noisy multiplicative observations
+        y = mu * np.exp(0.1 * rng.standard_normal(n))
+    beta, n_iter = fit_glm(X, y, family=family, l1=0.05, max_iter=30)
+    beta = np.asarray(beta)
+    assert np.all(np.isfinite(beta))
+    assert np.abs(beta).max() > 0  # actually moved off the origin
