@@ -181,6 +181,15 @@ class StandardizedMatrix:
         # one upload of the weights, shared by the inner sandwich and tmv
         d_dev = d if is_jax_array(d) else jnp.asarray(np.asarray(d))
         term1 = self.mat.sandwich(d_dev, rows, cols)
+
+        if is_jax_array(d) and (
+            is_jax_array(term1)
+            or (isinstance(term1, DiagonalResult) and is_jax_array(term1.diag))
+        ):
+            # device caller and device inner result: assemble the rank-1
+            # corrections in jnp and return WITHOUT a host download
+            return self._sandwich_device(term1, d_dev, rows, cols)
+
         d_mat = np.asarray(self.mat.transpose_matvec(d_dev, rows, cols))
         if self.mult is not None:
             limited_mult = self.mult[cols] if cols is not None else self.mult
@@ -206,6 +215,40 @@ class StandardizedMatrix:
                 to_add = to_add * np.outer(limited_mult, limited_mult)
             res += to_add
         return res
+
+    def _sandwich_device(self, term1, d_dev, rows, cols):
+        """jnp twin of the 4-term expansion; everything stays on device."""
+        d_mat = self.mat.transpose_matvec(d_dev, rows, cols)
+        limited_mult = (
+            None
+            if self.mult is None
+            else jnp.asarray(self.mult[cols] if cols is not None else self.mult)
+        )
+        if limited_mult is not None:
+            d_mat = d_mat * limited_mult
+        limited_shift = jnp.asarray(
+            self.shift[cols] if cols is not None else self.shift
+        )
+        d_sum = (
+            jnp.sum(jnp.take(d_dev, jnp.asarray(rows)))
+            if rows is not None
+            else jnp.sum(d_dev)
+        )
+
+        res = (
+            jnp.outer(d_mat, limited_shift)
+            + jnp.outer(limited_shift, d_mat)
+            + jnp.outer(limited_shift, limited_shift) * d_sum
+        )
+        if isinstance(term1, DiagonalResult):
+            diag = term1.diag
+            if limited_mult is not None:
+                diag = diag * limited_mult**2
+            return res + jnp.diag(diag)
+        inner = term1
+        if limited_mult is not None:
+            inner = inner * jnp.outer(limited_mult, limited_mult)
+        return res + inner
 
     # -- conversions / plumbing -------------------------------------------
 

@@ -3,6 +3,8 @@ from .validation import (  # noqa: F401
     check_matvec_out_shape,
     check_sandwich_compatible,
     check_transpose_matvec_out_shape,
+    is_full_length,
+    is_identity_index,
     set_up_rows_or_cols,
     setup_restrictions,
     _check_indexer,

@@ -163,3 +163,87 @@ def test_multiply():
     np.testing.assert_allclose(
         X.multiply(w).toarray(), X.toarray() * w[:, None], atol=1e-14
     )
+
+
+def _mixed_split(n=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        tm.SplitMatrix(
+            [
+                tm.DenseMatrix(rng.standard_normal((n, 4))),
+                tm.CategoricalMatrix(rng.integers(0, 23, n)),
+                tm.CategoricalMatrix(rng.integers(0, 11, n), drop_first=True),
+            ]
+        ),
+        rng,
+    )
+
+
+def test_sandwich_device_resident_matches_host():
+    """jax-d sandwich stays on device and matches the host assembly."""
+    import jax.numpy as jnp
+
+    X, rng = _mixed_split()
+    d = rng.random(X.shape[0])
+    H_host = X.sandwich(d)
+    H_dev = X.sandwich(jnp.asarray(d))
+    assert hasattr(H_dev, "device")  # no silent download
+    np.testing.assert_allclose(np.asarray(H_dev), H_host, atol=1e-11)
+
+
+def test_sandwich_device_resident_restrictions():
+    import jax.numpy as jnp
+
+    X, rng = _mixed_split(seed=1)
+    n = X.shape[0]
+    d = rng.random(n)
+    rows = rng.choice(n, n // 2, replace=False)
+    cols = np.array([0, 2, 5, 9, 20], dtype=np.int32)
+    H_host = X.sandwich(d, rows=rows, cols=cols)
+    H_dev = X.sandwich(jnp.asarray(d), rows=rows, cols=cols)
+    np.testing.assert_allclose(np.asarray(H_dev), H_host, atol=1e-11)
+
+
+def test_sandwich_device_sparse_block_falls_back():
+    """Sparse-containing splits keep the host assembly but stay correct."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    n = 1000
+    X = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 3))),
+            tm.SparseMatrix(sps.random(n, 6, density=0.1, format="csc", random_state=0)),
+            tm.CategoricalMatrix(rng.integers(0, 7, n)),
+        ]
+    )
+    d = rng.random(n)
+    np.testing.assert_allclose(
+        np.asarray(X.sandwich(jnp.asarray(d))), X.sandwich(d), atol=1e-11
+    )
+
+
+def test_standardized_sandwich_device_resident():
+    import jax.numpy as jnp
+
+    X, rng = _mixed_split(seed=3)
+    w = np.full(X.shape[0], 1.0 / X.shape[0])
+    Xs, _, _ = X.standardize(w, True, True)
+    d = rng.random(X.shape[0])
+    H_host = Xs.sandwich(d)
+    H_dev = Xs.sandwich(jnp.asarray(d))
+    assert hasattr(H_dev, "device")
+    np.testing.assert_allclose(np.asarray(H_dev), H_host, atol=1e-11)
+
+
+def test_device_design_cache_dropped_on_pickle():
+    import pickle
+
+    import jax.numpy as jnp
+
+    X, rng = _mixed_split(seed=4)
+    d = rng.random(X.shape[0])
+    H = np.asarray(X.sandwich(jnp.asarray(d)))
+    X2 = pickle.loads(pickle.dumps(X))
+    assert getattr(X2, "_device_design", None) is None
+    np.testing.assert_allclose(np.asarray(X2.sandwich(jnp.asarray(d))), H, atol=1e-11)
