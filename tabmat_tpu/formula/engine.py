@@ -222,6 +222,8 @@ class FactorState:
     # bs: full knot vector (with boundary repeats) + degree from training
     bs_knots: Optional[np.ndarray] = None
     bs_degree: Optional[int] = None
+    # categorical: contrast coding requested via C(x, contr.*)
+    contrasts: Optional[object] = None
 
 
 def _split_call(expr: str, fname: str):
@@ -257,11 +259,15 @@ def _split_call(expr: str, fname: str):
 
 
 def _parse_C_call(expr: str):
-    """Split a ``C(...)`` factor into (inner_expression, kwargs_src)."""
+    """Split a ``C(...)`` factor into (inner_expression, args_src, kwargs_src).
+
+    One positional argument beyond the data is allowed — the contrasts
+    spec (formulaic's calling convention: ``C(x, contr.sum())``).
+    """
     data_expr, args, kwargs = _split_call(expr, "C")
-    if args:
-        raise ValueError(f"Unsupported positional argument in C(): {args[0]!r}")
-    return data_expr, kwargs
+    if len(args) > 1:
+        raise ValueError(f"Unsupported positional argument in C(): {args[1]!r}")
+    return data_expr, args, kwargs
 
 
 # ----------------------------------------------------------------------
@@ -411,7 +417,7 @@ class _Evaluator:
         levels = None
 
         if expr.startswith("C(") and expr.endswith(")"):
-            data_expr, kwargs = _parse_C_call(expr)
+            data_expr, args, kwargs = _parse_C_call(expr)
             if "levels" in kwargs:
                 levels = list(eval(kwargs["levels"], {"__builtins__": {}}, {"np": np}))  # noqa: S307
             if "spans_intercept" in kwargs:
@@ -421,10 +427,17 @@ class _Evaluator:
                 cat_missing_method = kwargs["missing_method"].strip("\"'")
             if "missing_name" in kwargs:
                 cat_missing_name = kwargs["missing_name"].strip("\"'")
+            contrasts = None
+            contrasts_src = args[0] if args else kwargs.get("contrasts")
+            if contrasts_src is not None:
+                from .contrasts import parse_contrasts_arg
+
+                contrasts = parse_contrasts_arg(contrasts_src, self.context)
             col = self._column(data_expr)
             values = col if col is not None else self._eval_python(data_expr)
             return self._encode_categorical(
-                expr, values, levels, spans_intercept, cat_missing_method, cat_missing_name
+                expr, values, levels, spans_intercept, cat_missing_method,
+                cat_missing_name, contrasts=contrasts,
             )
 
         if (expr.startswith("poly(") or expr.startswith("bs(")) and expr.endswith(")"):
@@ -490,13 +503,15 @@ class _Evaluator:
         return False
 
     def _encode_categorical(
-        self, expr, values, levels, spans_intercept, missing_method, missing_name
+        self, expr, values, levels, spans_intercept, missing_method,
+        missing_name, contrasts=None,
     ):
         if self.use_state and expr in self.state:
             st = self.state[expr]
             spans_intercept = st.spans_intercept
             missing_method = st.missing_method or missing_method
             missing_name = st.missing_name or missing_name
+            contrasts = st.contrasts
             categories = list(st.categories)
             raw = self._raw_values(values)
             lookup = {c: i for i, c in enumerate(categories)}
@@ -578,6 +593,7 @@ class _Evaluator:
                 add_missing_category=add_missing,
                 missing_method=missing_method,
                 missing_name=missing_name,
+                contrasts=contrasts,
             )
             if missing_method == "fail" and (codes == -1).any():
                 raise ValueError(
@@ -600,6 +616,7 @@ class _Evaluator:
             name=expr,
         )
         slot.spans_intercept = spans_intercept
+        slot.contrasts = contrasts
         return slot
 
     @staticmethod
@@ -613,18 +630,43 @@ class _Evaluator:
         return np.asarray(values)
 
 
-def _reduce_rank(slot: CategoricalSlot) -> CategoricalSlot:
-    """Drop the first live category (rows of it get sentinel -2)."""
+def _reduce_rank(slot: CategoricalSlot, base_idx: int = 0) -> CategoricalSlot:
+    """Drop one live category (rows of it get sentinel -2).
+
+    ``base_idx`` picks the reference level — 0 by default, or the
+    ``contr.treatment(base=...)`` choice.
+    """
     codes = slot.codes.copy()
-    codes[codes == 0] = -2
-    codes[codes > 0] -= 1
+    codes[codes == base_idx] = -2
+    codes[codes > base_idx] -= 1
     out = CategoricalSlot(
         codes=codes,
-        categories=slot.categories[1:],
+        categories=slot.categories[:base_idx] + slot.categories[base_idx + 1 :],
         multipliers=slot.multipliers,
         name=slot.name,
     )
     out.spans_intercept = getattr(slot, "spans_intercept", True)
+    return out
+
+
+def _contrast_coded_slot(slot, factor_name, spec, reduced, categorical_format):
+    """Materialize a non-treatment contrast coding as dense columns.
+
+    The coded factor is ``M[codes, :]`` (missing rows → zeros) scaled by
+    any accumulated interaction multipliers; on TPU these columns ride the
+    dense MXU path, the natural mapping for a dense re-basis of one-hot.
+    """
+    M, frag_labels = spec.coding(list(slot.categories), reduced)
+    k, m = M.shape
+    M_pad = np.vstack([M, np.zeros((1, m))])
+    codes = np.where(slot.codes >= 0, slot.codes, k)
+    values = M_pad[codes, :] * slot.multipliers[:, None]
+    labels = [
+        categorical_format.format(name=factor_name, category=lb)
+        for lb in frag_labels
+    ]
+    out = MultiNumericSlot(values=values, labels=labels, name=factor_name)
+    out._labels_are_full_names = True
     return out
 
 
@@ -907,6 +949,27 @@ def _materialize(
                     and getattr(slot, "spans_intercept", True)
                     and rest in spanned
                 )
+                cspec = getattr(slot, "contrasts", None)
+                if cspec is not None and cspec.kind != "treatment":
+                    slots.append(
+                        _contrast_coded_slot(
+                            slot, f, cspec, reduce_this, categorical_format
+                        )
+                    )
+                    continue
+                base_idx = 0
+                if cspec is not None and cspec.base is not None:
+                    cats = list(slot.categories)
+                    scats = [str(c) for c in cats]
+                    if cspec.base in cats:
+                        base_idx = cats.index(cspec.base)
+                    elif str(cspec.base) in scats:
+                        base_idx = scats.index(str(cspec.base))
+                    else:
+                        raise ValueError(
+                            f"Base level {cspec.base!r} is not among the "
+                            f"levels of {f!r}: {cats}."
+                        )
                 formatted = CategoricalSlot(
                     codes=slot.codes,
                     categories=[
@@ -917,7 +980,9 @@ def _materialize(
                     name=f,
                 )
                 formatted.spans_intercept = getattr(slot, "spans_intercept", True)
-                slots.append(_reduce_rank(formatted) if reduce_this else formatted)
+                slots.append(
+                    _reduce_rank(formatted, base_idx) if reduce_this else formatted
+                )
             else:
                 slots.append(slot)
         combined = reduce(
