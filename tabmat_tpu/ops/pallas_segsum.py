@@ -55,6 +55,30 @@ def supported(num_segments: int, dtype=jnp.float64, n: int = 0) -> bool:
     return jnp.dtype(dtype) in (jnp.float32, jnp.float64)
 
 
+# flat kernel below this width (n·W compares already ≤ the bucketed
+# kernel's n·Wb L-build); bucketed above, up to its 2^17 cap
+ROUTE_W = 1 << 10
+
+
+def supported_any(num_segments: int, dtype=jnp.float64, n: int = 0) -> bool:
+    """True when EITHER one-hot segsum kernel covers this width."""
+    from . import pallas_segsum_bucketed as psb
+
+    return supported(num_segments, dtype, n) or psb.supported(
+        num_segments, dtype, n
+    )
+
+
+def segsum_auto(values, codes_col, num_segments: int):
+    """Route a 1-D segment-sum to the flat or bucketed kernel by width."""
+    if num_segments > ROUTE_W:
+        from . import pallas_segsum_bucketed as psb
+
+        if psb.supported(num_segments, values.dtype, n=0):
+            return psb.segsum_bucketed(values, codes_col, num_segments)
+    return segsum(values, codes_col, num_segments)
+
+
 def build_codes_col(codes: np.ndarray) -> np.ndarray:
     """Host-side structural layout: (n_pad, 1) int32, padded with -1.
 

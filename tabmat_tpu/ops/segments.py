@@ -52,18 +52,23 @@ class SegmentPlan:
         ):
             from . import pallas_segsum
 
-            return pallas_segsum.segsum(values, self.codes_col, self.num_segments)
+            return pallas_segsum.segsum_auto(
+                values, self.codes_col, self.num_segments
+            )
         return _segment_sum(self.perm, self.bounds, values)
 
     def sum2d(self, values: jax.Array) -> jax.Array:
         """Row-wise segment-sum of a (n, m) matrix → (num_segments, m)."""
+        from . import pallas_segsum
+
         if (
             self.codes_col is not None
             and values.dtype in (jnp.float32, jnp.float64)
             and values.shape[1] * 7 <= 128  # lhs slice rows stay one MXU pass
+            # the 2-D variant exists only for the flat kernel; wider code
+            # spaces (codes_col built for the bucketed 1-D route) fall back
+            and pallas_segsum.supported(self.num_segments, values.dtype)
         ):
-            from . import pallas_segsum
-
             return pallas_segsum.segsum_2d(values, self.codes_col, self.num_segments)
         return _segment_sum_2d(self.perm, self.bounds, values)
 
@@ -100,7 +105,7 @@ def build_plan(keys: np.ndarray, num_segments: int) -> SegmentPlan:
     from . import pallas_segsum
 
     codes_col = None
-    if keys32.dtype == np.int32 and pallas_segsum.supported(
+    if keys32.dtype == np.int32 and pallas_segsum.supported_any(
         num_segments, n=len(keys32)
     ):
         codes_col = jnp.asarray(pallas_segsum.build_codes_col(keys32))

@@ -103,7 +103,7 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
                 )
                 arrays[f"xperm_{a}_{b}"] = jnp.asarray(perm)
                 arrays[f"xbounds_{a}_{b}"] = jnp.asarray(bounds)
-                if pallas_segsum.supported(widths[a] * widths[b], n=len(combined)):
+                if pallas_segsum.supported_any(widths[a] * widths[b], n=len(combined)):
                     arrays[f"xccol_{a}_{b}"] = jnp.asarray(
                         pallas_segsum.build_codes_col(
                             np.asarray(combined, dtype=np.int32)
@@ -404,7 +404,7 @@ class DeviceDesign:
                 # per-cat MXU one-hot segment sums (no n-length perm gather)
                 return jnp.concatenate(
                     [
-                        pallas_segsum.segsum(r, a[f"ccol_{ci}"], wc)
+                        pallas_segsum.segsum_auto(r, a[f"ccol_{ci}"], wc)
                         for ci, wc in enumerate(widths)
                     ]
                 )
@@ -417,7 +417,7 @@ class DeviceDesign:
         if "ccol_0" in a and r.dtype in (jnp.float32, jnp.float64):
             from ..ops import pallas_segsum
 
-            return pallas_segsum.segsum(r, a["ccol_0"], block.width)
+            return pallas_segsum.segsum_auto(r, a["ccol_0"], block.width)
         g = jnp.take(r, a["perm"])
         csum = jnp.cumsum(g)
         p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
@@ -581,14 +581,14 @@ class DeviceDesign:
             for j, (perm_j, starts_j, ends_j, wj, _, _ccj) in enumerate(cat_info):
                 if i == j:
                     if ccol_i is not None and w_seg_ok:
-                        diag = pallas_segsum.segsum(w, ccol_i, wi)
+                        diag = pallas_segsum.segsum_auto(w, ccol_i, wi)
                     else:
                         diag = seg_sum(perm_i, starts_i, ends_i, w)
                     row_parts.append(jnp.diag(diag))
                 elif (min(i, j), max(i, j)) in cross:
                     xperm, xbounds, xccol = cross[(min(i, j), max(i, j))]
                     if xccol is not None and w_seg_ok:
-                        flat = pallas_segsum.segsum(w, xccol, wi * wj)
+                        flat = pallas_segsum.segsum_auto(w, xccol, wi * wj)
                     else:
                         flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)
                     if i < j:
