@@ -57,7 +57,8 @@ def supported(num_segments: int, dtype=jnp.float64, n: int = 0) -> bool:
 
 # flat kernel below this width (n·W compares already ≤ the bucketed
 # kernel's n·Wb L-build); bucketed above, up to its 2^17 cap
-ROUTE_W = 1 << 10
+# (measured 1M rows: bucketed 1.43 ms @ W=10k vs flat 3.5 ms @ W=1k)
+ROUTE_W = 1 << 9
 
 
 def supported_any(num_segments: int, dtype=jnp.float64, n: int = 0) -> bool:
