@@ -219,21 +219,57 @@ def matvec_cached_T(QXT: jax.Array, eX: jax.Array, v: jax.Array, n=None) -> jax.
 
 @jax.jit
 def transpose_matvec_cached(QX: jax.Array, eX: jax.Array, r: jax.Array) -> jax.Array:
-    """Exact ``X.T @ r`` from cached X slices (row contraction, chunked)."""
+    """Exact ``X.T @ r`` from cached X slices (row contraction, chunked).
+
+    The (n,) weight vector is sliced by the cheap f32-plane extractor
+    (T7-bit slices, fused native-f32 rounds) — at 1M rows the emulated-f64
+    slicing passes used to cost more than the matmuls.  Mixed widths:
+    X slices carry T-bit levels, r slices T7-bit; a pair (p, q) weighs
+    2^-(T(p+1)+T7(q+1)) and pairs are kept while their leading bit is
+    within ~56 of the top (the same coverage rule as the uniform case).
+    Products |q_X·q_r| ≤ ~2^15 with CHUNK=128 stay exact in f32.
+    """
     S_, nc, c, k = QX.shape
     n = r.shape[0]
-    Qr, er = _slice_vector(r)
-    Qr = jnp.pad(Qr, ((0, 0), (0, nc * c - n))).reshape(S, nc, c)
+    Qr, er = slice_vector_f32planes(r)
+    S_r = Qr.shape[0]
+    Qr = jnp.pad(Qr, ((0, 0), (0, nc * c - n))).reshape(S_r, nc, c)
+    from .._config import on_tpu
+
+    batched = on_tpu()  # CPU XLA cannot execute batched bf16×bf16→f32 dots
     out = jnp.zeros((k,), dtype=jnp.float64)
-    for p in range(S):
-        for q in range(S):
-            if p + q > MAX_LEVEL:
-                continue
+    for p in range(S_):
+        # admissible r-slices for this X-slice: leading product bit within
+        # 63 of the top (the uniform rule kept (p+q+2)·8 ≤ 64)
+        m_p = sum(
+            1 for q in range(S_r) if T * (p + 1) + T7 * (q + 1) <= 63
+        )
+        if m_p == 0:
+            continue
+        w = [0.5 ** (T * (p + 1) + T7 * (q + 1)) for q in range(m_p)]
+        if batched:
+            # stack the q-slices as batch rows so QX[p] is read ONCE per
+            # p — the pairwise form re-reads the (n, k) plane per pair
             part = jnp.einsum(
-                "ncj,nc->nj", QX[p], Qr[q], preferred_element_type=jnp.float32
+                "qnc,ncj->qnj",
+                Qr[:m_p],
+                QX[p],
+                preferred_element_type=jnp.float32,
             )
-            total = jnp.sum(part, axis=0, dtype=jnp.float64)
-            out = out + total * (0.5 ** ((p + q + 2) * T))
+            tot = jnp.sum(part, axis=1, dtype=jnp.float64)  # (m_p, k)
+            out = out + jnp.einsum(
+                "qj,q->j", tot, jnp.asarray(w, dtype=jnp.float64)
+            )
+        else:
+            for q in range(m_p):
+                part = jnp.einsum(
+                    "ncj,nc->nj",
+                    QX[p],
+                    Qr[q],
+                    preferred_element_type=jnp.float32,
+                )
+                total = jnp.sum(part, axis=0, dtype=jnp.float64)
+                out = out + total * w[q]
     return out * (eX * er)
 
 
@@ -260,3 +296,57 @@ def transpose_matvec(X: jax.Array, v: jax.Array) -> jax.Array:
             total = jnp.sum(part, axis=0, dtype=jnp.float64)
             out = out + total * (0.5 ** ((p + q + 2) * T))
     return out * (eX * ev[0])
+
+
+T7 = 7  # plane-slicing width: |q| ≤ 129 per plane, ≤ 258... see below
+
+
+def slice_vector_f32planes(v: jax.Array, n_slices: int = 7):
+    """Integer bf16 slices of a vector via its native f32 planes.
+
+    The platform stores f64 as an (hi, lo) f32 pair, and ``_slice_vector``'s
+    7 sequential emulated-f64 round/sub passes are the dominant per-op cost
+    of every cached matvec/segsum at large n.  This extractor runs almost
+    entirely in native f32:
+
+    - one f64 scale + split: ``rh = f32(v·2^-e)``, ``rl = f32(v·2^-e − rh)``
+      (both exact — power-of-two scale, and the residual of an f32 round of
+      a platform value IS the lo plane);
+    - per level p, INDEPENDENT f32 rounds via the telescoping identity
+      ``q_p = R_{p+1} − 2^T·R_p`` with ``R_p = round(x·2^{pT})`` (the
+      first slice absorbs the head: ``q_0 = R_1``) — no sequential
+      dependency, so XLA fuses all levels into one pass over the data;
+    - the planes' level-p slices are summed in f32 (exact) and converted
+      once to bf16.  T = 7 bounds each plane's slice at |q| ≤ 129, and
+      the planes' mantissa windows are 24 bits apart, so at most one
+      straddling level mixes both — measured bound |q_sum| ≤ ~130, well
+      inside bf16's exact-integer range (≤ 256).
+
+    Coverage: n_slices·T bits below the global max (49 bits at the default
+    7 — the platform pair itself carries 48; CPU true-f64 loses its bits
+    past 48 in the plane split, i.e. ~2e-15 relative).  Returns
+    ((S, n) bf16, exp).
+    """
+    r = v.astype(jnp.float64)
+    absmax = jnp.max(jnp.abs(r))
+    e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
+    exp = jnp.exp2(e)
+    scaled = r * jnp.exp2(-e)
+    rh = scaled.astype(jnp.float32)
+    rl = (scaled - rh.astype(jnp.float64)).astype(jnp.float32)
+
+    def plane_slices(x32):
+        R = [
+            jnp.round(x32 * jnp.float32(2.0 ** (p * T7)))
+            for p in range(n_slices + 1)
+        ]
+        # the first slice absorbs the whole head (no R_0 subtraction):
+        # Σ_p q_p·2^{-(p+1)T} then telescopes to R_S·2^{-ST} = x exactly
+        return [R[1]] + [
+            R[p + 1] - jnp.float32(1 << T7) * R[p] for p in range(1, n_slices)
+        ]
+
+    qh = plane_slices(rh)
+    ql = plane_slices(rl)
+    q = jnp.stack([(a + b).astype(jnp.bfloat16) for a, b in zip(qh, ql)])
+    return q, exp

@@ -171,24 +171,16 @@ def _segsum_bucketed_parts(q, codes_col, wb, b_pad, interpret=False):
 
 
 def _slice_rows_1d(values: jax.Array, n_pad: int):
-    """Error-free bf16 slice rows of a (n,) value vector.
+    """Integer bf16 slice rows of a (n,) value vector (f32-plane scheme).
 
-    Same scheme as ``pallas_segsum._slice_rows`` restricted to vectors:
-    f32 → 3 slices, f64 → ozaki.S slices of T bits each.
+    ``ozaki.slice_vector_f32planes`` replaces 7 sequential emulated-f64
+    round/sub passes with fused native-f32 rounds — the slicing used to
+    rival the kernel itself at 1M rows.  Slice width is ozaki.T7 = 7 bits
+    (49-bit coverage; the platform f64 pair carries 48).
     """
-    n_slices = 3 if values.dtype == jnp.float32 else ozaki.S
-    v = values.astype(jnp.float64)
-    absmax = jnp.max(jnp.abs(v))
-    e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
-    exp = jnp.exp2(e)
-    r = v * jnp.exp2(-e)
-    slices = []
-    for p in range(n_slices):
-        qp = jnp.round(r * jnp.float64(1 << ((p + 1) * ozaki.T)))
-        slices.append(qp.astype(jnp.bfloat16))
-        r = r - qp * (0.5 ** ((p + 1) * ozaki.T))
-    q = jnp.stack(slices)  # (S, n)
-    return jnp.pad(q, ((0, 0), (0, n_pad - v.shape[0]))), exp, n_slices
+    n_slices = 4 if values.dtype == jnp.float32 else 7  # 4·7 = 28 ≥ 24 bits
+    q, exp = ozaki.slice_vector_f32planes(values, n_slices)
+    return jnp.pad(q, ((0, 0), (0, n_pad - values.shape[0]))), exp, n_slices
 
 
 @partial(jax.jit, static_argnames=("num_segments", "wb", "interpret"))
@@ -217,7 +209,7 @@ def segsum_bucketed(
     tot = parts[0].astype(jnp.float64) + parts[1].astype(jnp.float64)
     tot = tot.reshape(n_slices, b_pad, wb)
     weights = jnp.asarray(
-        [0.5 ** ((p + 1) * ozaki.T) for p in range(n_slices)],
+        [0.5 ** ((p + 1) * ozaki.T7) for p in range(n_slices)],
         dtype=jnp.float64,
     )
     out = jnp.einsum("sbw,s->bw", tot, weights).reshape(-1)[:num_segments]
