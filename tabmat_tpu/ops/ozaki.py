@@ -114,9 +114,14 @@ def _sandwich_cached_jit(X, d, QB, eB):
 
 
 def sandwich_cached(X: jax.Array, d: jax.Array, cache) -> jax.Array:
-    """Sandwich reusing precomputed X-side slices (single dispatch)."""
+    """Sandwich reusing precomputed X-side slices (single dispatch).
+
+    The per-call (X·d) side is sliced by the f32-plane extractor (T7
+    levels, fused native-f32 rounds) — the sequential emulated-f64
+    slicing passes used to dominate the whole op at 1M×50.
+    """
     QB, eB = cache
-    return _sandwich_cached_jit(X, d, QB, eB)
+    return _sandwich_cached_mixed_jit(X, d, QB, eB)
 
 
 def _slice_vector(v: jax.Array):
@@ -350,3 +355,79 @@ def slice_vector_f32planes(v: jax.Array, n_slices: int = 7):
     ql = plane_slices(rl)
     q = jnp.stack([(a + b).astype(jnp.bfloat16) for a, b in zip(qh, ql)])
     return q, exp
+
+
+def slice_matrix_f32planes(A: jax.Array, n_slices: int = 7):
+    """Per-column T7-bit integer slices of a matrix via its f32 planes.
+
+    The (n, k) twin of :func:`slice_vector_f32planes` — one f64
+    scale/split, then fused independent f32 rounds.  Replaces the 7
+    sequential emulated-f64 passes of ``_slice_global`` on the
+    re-sliced-every-call side of the sandwich.  Returns
+    ((S, n, k) bf16, (k,) f64 exps).
+    """
+    absmax = jnp.max(jnp.abs(A), axis=0, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
+    exps = jnp.exp2(e)
+    scaled = A * jnp.exp2(-e)
+    rh = scaled.astype(jnp.float32)
+    rl = (scaled - rh.astype(jnp.float64)).astype(jnp.float32)
+
+    def plane_slices(x32):
+        R = [
+            jnp.round(x32 * jnp.float32(2.0 ** (p * T7)))
+            for p in range(n_slices + 1)
+        ]
+        return [R[1]] + [
+            R[p + 1] - jnp.float32(1 << T7) * R[p] for p in range(1, n_slices)
+        ]
+
+    qh = plane_slices(rh)
+    ql = plane_slices(rl)
+    q = jnp.stack([(a + b).astype(jnp.bfloat16) for a, b in zip(qh, ql)])
+    return q, exps[0]
+
+
+# mixed-width sandwich: T7-sliced A side × T8-cached B side.  Product
+# integers are ≤ 2^15, so chunks of 512 stay exact in f32 (vs 128 for the
+# uniform T8 pairs) — 4× fewer (nc, k, k) partials to reduce in f64.
+_CHUNK_MIXED = 512
+
+
+@jax.jit
+def _sandwich_pairs_mixed(QA, eA, QB, eB) -> jax.Array:
+    """(S7, nc', cm, k) T7 slices × (S8, nc, 128, k) T8 cache → (k, k).
+
+    ``cm`` (= QA's chunk) divides the cache's padded row count; the cache
+    is re-viewed at that chunking (a pure reshape — same memory layout).
+    """
+    S7, nc4, cm, k = QA.shape
+    S8 = QB.shape[0]
+    QBr = QB.reshape(S8, nc4, cm, k)
+    out = jnp.zeros((k, k), dtype=jnp.float64)
+    for p in range(S7):
+        for q in range(S8):
+            bits = T7 * (p + 1) + T * (q + 1)
+            # same ~63-bit product coverage as the uniform (p+q+2)·8 ≤ 64
+            if bits > 63:
+                continue
+            part = jnp.einsum(
+                "nci,ncj->nij",
+                QA[p],
+                QBr[q],
+                preferred_element_type=jnp.float32,
+            )
+            total = jnp.sum(part, axis=0, dtype=jnp.float64)
+            out = out + total * (0.5**bits)
+    return out * (eA[:, None] * eB[None, :])
+
+
+@jax.jit
+def _sandwich_cached_mixed_jit(X, d, QB, eB):
+    QA, eA = slice_matrix_f32planes(X * d[:, None])
+    n = X.shape[0]
+    n_pad = QB.shape[1] * QB.shape[2]  # the cache's padded row count
+    cm = _CHUNK_MIXED if n_pad % _CHUNK_MIXED == 0 else CHUNK
+    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+    QA = jnp.pad(QA, pad).reshape(QA.shape[0], n_pad // cm, cm, X.shape[1])
+    return _sandwich_pairs_mixed(QA, eA, QB, eB)
