@@ -138,6 +138,24 @@ def from_df(
     density > ``sparse_threshold`` else sparse; other dtypes are warned about
     and skipped.  ``cat_position`` 'expand' keeps original column order, 'end'
     moves all categorical spans past the numeric columns.
+
+    Examples
+    --------
+    >>> import numpy as np, pandas as pd, tabmat_tpu as tm
+    >>> df = pd.DataFrame({
+    ...     "x": [1.0, 2.0, 3.0, 4.0],
+    ...     "c": pd.Categorical(["a", "b", "a", "b"]),
+    ... })
+    >>> X = tm.from_df(df)
+    >>> type(X).__name__, X.shape
+    ('SplitMatrix', (4, 3))
+    >>> X.column_names
+    ['x', 'c[a]', 'c[b]']
+    >>> X.toarray()
+    array([[1., 1., 0.],
+           [2., 0., 1.],
+           [3., 1., 0.],
+           [4., 0., 1.]])
     """
     if nw is None:
         raise ImportError("from_df requires narwhals (or pandas).")

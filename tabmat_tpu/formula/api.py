@@ -32,7 +32,24 @@ def from_formula(
     add_column_for_intercept: bool = True,
     context: Optional[Union[int, Mapping[str, Any]]] = None,
 ):
-    """Build a SplitMatrix from a Wilkinson formula and a dataframe."""
+    """Build a SplitMatrix from a Wilkinson formula and a dataframe.
+
+    Examples
+    --------
+    >>> import numpy as np, pandas as pd, tabmat_tpu as tm
+    >>> df = pd.DataFrame({
+    ...     "x": [1.0, 2.0, 3.0, 4.0],
+    ...     "c": pd.Categorical(["u", "v", "u", "v"]),
+    ... })
+    >>> X = tm.from_formula("1 + x + c", df, ensure_full_rank=True)
+    >>> X.column_names
+    ['Intercept', 'x', 'c[v]']
+    >>> X.toarray()
+    array([[1., 1., 0.],
+           [1., 2., 1.],
+           [1., 3., 0.],
+           [1., 4., 1.]])
+    """
     from .engine import materialize_formula
 
     if isinstance(context, int):

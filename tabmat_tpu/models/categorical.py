@@ -115,6 +115,20 @@ class CategoricalMatrix(MatrixBase):
     Parameters mirror the reference: ``cat_vec`` (data or codes when
     ``categories`` is given), ``drop_first``, ``cat_missing_method``
     ('fail'|'zero'|'convert'), ``cat_missing_name``, dtype, and naming.
+
+    Examples
+    --------
+    >>> import numpy as np, tabmat_tpu as tm
+    >>> C = tm.CategoricalMatrix(np.array([0, 1, 2, 1]), categories=np.arange(3))
+    >>> C.shape
+    (4, 3)
+    >>> C.toarray()
+    array([[1., 0., 0.],
+           [0., 1., 0.],
+           [0., 0., 1.],
+           [0., 1., 0.]])
+    >>> np.asarray(C.transpose_matvec(np.array([1.0, 2.0, 3.0, 4.0])))
+    array([1., 6., 3.])
     """
 
     def __init__(

@@ -38,6 +38,18 @@ class DenseMatrix(MatrixBase):
     Supports the full MatrixBase contract: ``sandwich`` (MXU),
     ``matvec``/``transpose_matvec`` with active-set restriction, column
     standardization statistics, names, and indexing.
+
+    Examples
+    --------
+    >>> import numpy as np, tabmat_tpu as tm
+    >>> X = tm.DenseMatrix(np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]))
+    >>> X.shape
+    (3, 2)
+    >>> np.asarray(X.matvec(np.array([1.0, 10.0])))
+    array([21., 43., 65.])
+    >>> np.asarray(X.sandwich(np.array([1.0, 1.0, 1.0])))
+    array([[35., 44.],
+           [44., 56.]])
     """
 
     def __init__(self, input_array, column_names=None, term_names=None):
