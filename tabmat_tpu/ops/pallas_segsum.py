@@ -130,26 +130,19 @@ def _segsum_parts(q: jax.Array, codes_col: jax.Array, w_pad: int) -> jax.Array:
 
 
 def _slice_rows(values: jax.Array, n_pad: int):
-    """Error-free bf16 slice rows of a value vector (or (n, m) columns).
+    """Integer bf16 slice rows of a value vector (or (n, m) columns).
 
-    Returns (q (S·m, n_pad) bf16, exps (m,) f64, n_slices).  f32 inputs
-    carry 24 mantissa bits → 3 slices; f64 carries the platform's 48-bit
-    pair → 7 slices (ozaki.S).
+    f32-plane extraction (``ozaki.slice_matrix_f32planes``): T7 = 7-bit
+    levels from the platform's native (hi, lo) f32 pair via fused
+    independent f32 rounds — the sequential emulated-f64 passes used to
+    rival the kernels themselves at 1M rows.  Returns
+    (q (S·m, n_pad) bf16, exps (m,) f64, n_slices): f64 → 7 slices
+    (49-bit coverage; the platform pair carries 48), f32 → 4 (28 ≥ 24).
     """
-    n_slices = 3 if values.dtype == jnp.float32 else ozaki.S
+    n_slices = 4 if values.dtype == jnp.float32 else 7
     v2d = values[:, None] if values.ndim == 1 else values
-    v2d = v2d.astype(jnp.float64)
     n, m = v2d.shape
-    absmax = jnp.max(jnp.abs(v2d), axis=0, keepdims=True)
-    e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
-    exps = jnp.exp2(e)[0]
-    r = v2d * jnp.exp2(-e)
-    slices = []
-    for p in range(n_slices):
-        qp = jnp.round(r * jnp.float64(1 << ((p + 1) * ozaki.T)))
-        slices.append(qp.astype(jnp.bfloat16))
-        r = r - qp * (0.5 ** ((p + 1) * ozaki.T))
-    q = jnp.stack(slices)  # (S, n, m)
+    q, exps = ozaki.slice_matrix_f32planes(v2d.astype(jnp.float64), n_slices)
     q = jnp.transpose(q, (0, 2, 1)).reshape(n_slices * m, n)
     return jnp.pad(q, ((0, 0), (0, n_pad - n))), exps, n_slices
 
@@ -175,7 +168,7 @@ def segsum_2d(values: jax.Array, codes_col: jax.Array, num_segments: int) -> jax
     tot = jnp.sum(parts, axis=0, dtype=jnp.float64)  # (S·m, w_pad)
     tot = tot.reshape(n_slices, m, w_pad)
     weights = jnp.asarray(
-        [0.5 ** ((p + 1) * ozaki.T) for p in range(n_slices)], dtype=jnp.float64
+        [0.5 ** ((p + 1) * ozaki.T7) for p in range(n_slices)], dtype=jnp.float64
     )
     out = jnp.einsum("smw,s->wm", tot, weights) * exps[None, :]
     return out[:num_segments].astype(in_dtype)
