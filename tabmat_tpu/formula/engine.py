@@ -502,6 +502,63 @@ class _Evaluator:
             return True
         return False
 
+    @classmethod
+    def _map_to_codes(cls, raw, lookup):
+        """Vectorized value→code mapping for stateful re-materialization.
+
+        Same semantics as the per-row loop it replaces (value lookup with a
+        str-spelling fallback, missings → -1), but C-speed through pandas
+        Categoricals — the loop made out-of-sample encoding O(n) Python
+        calls per factor.  Falls back to the loop for exotic values.
+        """
+        raw_arr = np.asarray(raw, dtype=object)
+        n = len(raw_arr)
+        codes = np.full(n, -1, dtype=np.int64)
+        if pd is not None and n:
+            try:
+                s = pd.Series(raw_arr)
+                miss = s.isna().to_numpy()
+                live_vals = raw_arr[~miss]
+                live_keys = list(lookup)
+                cat = pd.Categorical(live_vals, categories=live_keys)
+                sub = cat.codes.astype(np.int64)
+                # remap positional codes to the lookup's code values
+                # (identical when lookup is dense 0..K-1, which it is)
+                order = np.asarray([lookup[c] for c in live_keys], np.int64)
+                hit = sub >= 0
+                sub[hit] = order[sub[hit]]
+                if (~hit).any():
+                    # str-spelling fallback for the few non-exact matches
+                    rest = live_vals[~hit]
+                    sub2 = np.full(len(rest), -1, dtype=np.int64)
+                    for i, val in enumerate(rest):
+                        code = lookup.get(
+                            val if isinstance(val, str) else str(val)
+                        )
+                        if code is not None:
+                            sub2[i] = code
+                    sub[~hit] = sub2
+                codes[~miss] = sub
+                unseen = {
+                    str(v) for v in live_vals[sub < 0]
+                } if (sub < 0).any() else set()
+                return codes, bool(miss.any()), unseen
+            except (TypeError, ValueError):
+                codes[:] = -1
+        unseen = set()
+        has_missing = False
+        for i, val in enumerate(raw_arr):
+            if cls._is_missing(val):
+                has_missing = True
+                continue
+            key = str(val) if not isinstance(val, str) else val
+            code = lookup.get(val, lookup.get(key))
+            if code is None:
+                unseen.add(str(val))
+            else:
+                codes[i] = code
+        return codes, has_missing, unseen
+
     def _encode_categorical(
         self, expr, values, levels, spans_intercept, missing_method,
         missing_name, contrasts=None,
@@ -520,19 +577,7 @@ class _Evaluator:
                 # missing column which is appended below
                 live = [c for c in categories if c != missing_name]
                 lookup = {c: i for i, c in enumerate(live)}
-            codes = np.full(len(raw), -1, dtype=np.int64)
-            unseen = set()
-            has_missing = False
-            for i, val in enumerate(raw):
-                if self._is_missing(val):
-                    has_missing = True
-                    continue
-                key = str(val) if not isinstance(val, str) else val
-                code = lookup.get(val, lookup.get(key))
-                if code is None:
-                    unseen.add(str(val))
-                else:
-                    codes[i] = code
+            codes, has_missing, unseen = self._map_to_codes(raw, lookup)
             if unseen:
                 raise ValueError(
                     f"Column {expr!r} contains unseen categories: {sorted(unseen)}."
