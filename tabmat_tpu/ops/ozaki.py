@@ -107,12 +107,6 @@ def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
     return _sandwich_pairs(QA, eA, QB, eB)
 
 
-@jax.jit
-def _sandwich_cached_jit(X, d, QB, eB):
-    QA, eA = _slice_scaled(X, d)
-    return _sandwich_pairs(QA, eA, QB, eB)
-
-
 def sandwich_cached(X: jax.Array, d: jax.Array, cache) -> jax.Array:
     """Sandwich reusing precomputed X-side slices (single dispatch).
 
