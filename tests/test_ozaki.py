@@ -114,3 +114,43 @@ def test_matvec_cached_T_exact_beyond_k256():
     ref = X @ v
     relerr = np.abs(got - ref).max() / np.abs(ref).max()
     assert relerr < 1e-13, relerr
+
+
+def test_f32plane_vector_slicing_edges():
+    """Reconstruction at 49-bit coverage across dynamic ranges and zeros."""
+    import jax.numpy as jnp
+
+    from tabmat_tpu.ops import ozaki
+
+    rng = np.random.default_rng(5)
+    cases = [
+        rng.standard_normal(10000) * np.exp(rng.standard_normal(10000) * 4),
+        np.zeros(100),
+        np.concatenate([np.zeros(50), np.full(50, 1e300), np.full(50, -1e-300)]),
+        np.array([1.0]),
+    ]
+    for v in cases:
+        q, exp = ozaki.slice_vector_f32planes(jnp.asarray(v))
+        qn = np.asarray(q, dtype=np.float64)
+        assert np.abs(qn).max() <= 256  # bf16-exact integer range
+        recon = sum(
+            qn[p] * 0.5 ** ((p + 1) * ozaki.T7) for p in range(qn.shape[0])
+        ) * float(exp)
+        scale = max(np.abs(v).max(), 1e-300)
+        assert np.abs(recon - v).max() / scale < 2**-47.5
+
+
+def test_f32plane_matrix_slicing_per_column_scales():
+    import jax.numpy as jnp
+
+    from tabmat_tpu.ops import ozaki
+
+    rng = np.random.default_rng(6)
+    A = rng.standard_normal((500, 4)) * np.array([1e-8, 1.0, 1e8, 1e80])
+    q, exps = ozaki.slice_matrix_f32planes(jnp.asarray(A))
+    qn = np.asarray(q, dtype=np.float64)
+    recon = sum(
+        qn[p] * 0.5 ** ((p + 1) * ozaki.T7) for p in range(qn.shape[0])
+    ) * np.asarray(exps)[None, :]
+    col_scale = np.abs(A).max(axis=0)
+    assert (np.abs(recon - A).max(axis=0) / col_scale < 2**-47.5).all()
