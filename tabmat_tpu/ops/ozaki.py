@@ -76,35 +76,14 @@ def slice_matrix(X: jax.Array):
 
 
 @jax.jit
-def _sandwich_pairs(QA, eA, QB, eB) -> jax.Array:
-    k = QA.shape[-1]
-    out = jnp.zeros((k, k), dtype=jnp.float64)
-    for p in range(S):
-        for q in range(S):
-            if p + q > MAX_LEVEL:
-                continue
-            part = jnp.einsum(
-                "nci,ncj->nij", QA[p], QB[q], preferred_element_type=jnp.float32
-            )
-            # exact: per-chunk partials are f32 integers; the cross-chunk
-            # reduction accumulates in f64
-            total = jnp.sum(part, axis=0, dtype=jnp.float64)
-            out = out + total * (0.5 ** ((p + q + 2) * T))
-    return out * (eA[:, None] * eB[None, :])
-
-
-@jax.jit
-def _slice_scaled(X: jax.Array, d: jax.Array):
-    QA, eA = _slice_global(X * d[:, None])
-    return _pad_reshape(QA, X.shape[0]), eA
-
-
-@jax.jit
 def sandwich(X: jax.Array, d: jax.Array) -> jax.Array:
-    """Exact ``X.T @ diag(d) @ X`` via error-free bf16 slice products."""
-    QA, eA = _slice_scaled(X, d)
+    """Exact ``X.T @ diag(d) @ X`` via error-free bf16 slice products.
+
+    Same mixed-width formulation as the cached path: T8 structural X
+    slices × T7 f32-plane slices of the d-scaled side.
+    """
     QB, eB = slice_matrix(X)
-    return _sandwich_pairs(QA, eA, QB, eB)
+    return _sandwich_cached_mixed_jit(X, d, QB, eB)
 
 
 def sandwich_cached(X: jax.Array, d: jax.Array, cache) -> jax.Array:
