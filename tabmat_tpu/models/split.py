@@ -46,7 +46,27 @@ def _device_design_sandwich(design, w):
     return _DESIGN_SANDWICH_JIT(design, w)
 
 
+def _device_design_matvec(design, v):
+    global _DESIGN_MATVEC_JIT
+    if _DESIGN_MATVEC_JIT is None:
+        import jax
+
+        _DESIGN_MATVEC_JIT = jax.jit(lambda dd, vec: dd.matvec(vec))
+    return _DESIGN_MATVEC_JIT(design, v)
+
+
+def _device_design_tmv(design, r):
+    global _DESIGN_TMV_JIT
+    if _DESIGN_TMV_JIT is None:
+        import jax
+
+        _DESIGN_TMV_JIT = jax.jit(lambda dd, vec: dd.transpose_matvec(vec))
+    return _DESIGN_TMV_JIT(design, r)
+
+
 _DESIGN_SANDWICH_JIT = None
+_DESIGN_MATVEC_JIT = None
+_DESIGN_TMV_JIT = None
 from .base import MatrixBase
 from .dense import DenseMatrix
 from .sparse import SparseMatrix
@@ -416,6 +436,21 @@ class SplitMatrix(MatrixBase):
         check_matvec_dimensions(self, v, transpose=False)
         check_matvec_out_shape(self, out)
 
+        if (
+            is_jax_array(v_in)
+            and v.ndim == 1
+            and out is None
+            and np.dtype(v.dtype) == np.dtype(self.dtype)
+        ):
+            # device caller: one jitted program over the cached design
+            # (column restriction ≡ masking v — matvec sums over columns)
+            ve = v
+            if cols is not None and not is_identity_index(cols, self.shape[1]):
+                cmask = np.zeros(self.shape[1], dtype=np.uint8)
+                cmask[np.asarray(cols)] = 1
+                ve = ve * jnp.asarray(cmask).astype(ve.dtype)
+            return _device_design_matvec(self._get_device_design(), ve)
+
         _, subset_cols, n_cols = self._split_col_subsets(cols)
 
         out_shape = [self.shape[0]] + ([] if v.ndim == 1 else list(v.shape[1:]))
@@ -448,6 +483,25 @@ class SplitMatrix(MatrixBase):
         v = v if is_jax_array(v) else np.asarray(v)
         check_matvec_dimensions(self, v, transpose=True)
         check_transpose_matvec_out_shape(self, out)
+
+        if (
+            is_jax_array(v_in)
+            and v.ndim == 1
+            and out is None
+            and np.dtype(v.dtype) == np.dtype(self.dtype)
+        ):
+            # device caller: fused blockwise tmv (row restriction ≡ byte
+            # mask on the weights; column restriction gathers the output)
+            ve = v
+            if rows is not None and not is_full_length(rows, self.shape[0]):
+                rmask = np.zeros(self.shape[0], dtype=np.uint8)
+                rmask[np.asarray(rows)] = 1
+                ve = ve * jnp.asarray(rmask).astype(ve.dtype)
+            res_full = _device_design_tmv(self._get_device_design(), ve)
+            if cols is not None and not is_identity_index(cols, self.shape[1]):
+                c = jnp.asarray(np.asarray(cols, dtype=np.int32))
+                return jnp.take(res_full, c)
+            return res_full
 
         subset_cols_indices, subset_cols, n_cols = self._split_col_subsets(cols)
         out_dtype = np.result_type(self.dtype, v.dtype)

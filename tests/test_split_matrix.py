@@ -247,3 +247,41 @@ def test_device_design_cache_dropped_on_pickle():
     X2 = pickle.loads(pickle.dumps(X))
     assert getattr(X2, "_device_design", None) is None
     np.testing.assert_allclose(np.asarray(X2.sandwich(jnp.asarray(d))), H, atol=1e-11)
+
+
+def test_matvec_tmv_device_resident():
+    """jax 1-d vectors route through the fused DeviceDesign program."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    X = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 3))),
+            tm.SparseMatrix(
+                sps.random(n, 6, density=0.1, format="csc", random_state=1)
+            ),
+            tm.CategoricalMatrix(rng.integers(0, 9, n)),
+        ]
+    )
+    A = X.toarray()
+    v = rng.standard_normal(X.shape[1])
+    r = rng.standard_normal(n)
+    mv = X.matvec(jnp.asarray(v))
+    tv = X.transpose_matvec(jnp.asarray(r))
+    assert hasattr(mv, "device") and hasattr(tv, "device")
+    np.testing.assert_allclose(np.asarray(mv), A @ v, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(tv), A.T @ r, atol=1e-11)
+    # restrictions match the host path
+    cols = np.array([0, 2, 8])
+    rows = rng.choice(n, n // 3, replace=False)
+    np.testing.assert_allclose(
+        np.asarray(X.matvec(jnp.asarray(v), cols=cols)),
+        X.matvec(v, cols=cols),
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(X.transpose_matvec(jnp.asarray(r), rows=rows, cols=cols)),
+        X.transpose_matvec(r, rows=rows, cols=cols),
+        atol=1e-11,
+    )
