@@ -135,6 +135,12 @@ class DeviceDesign:
         # inverse: global order -> concat order (for splitting v by block)
         order = np.concatenate([b.positions for b in blocks])
         self._gather_v = jnp.asarray(np.asarray(order, dtype=np.int32))
+        # blocks laid out in global column order (every from_df/benchmark
+        # design): the placement gathers are identities — skip them, the
+        # (k, k) column gather in particular is element-serial on this TPU
+        self._identity_order = bool(
+            np.array_equal(np.asarray(index_map), np.arange(n_cols))
+        )
 
     def astype_float(self, dtype):
         """A view of the design with float leaves cast (ints untouched).
@@ -175,6 +181,7 @@ class DeviceDesign:
         d.mult = cast(self.mult)
         d._index_map = self._index_map
         d._gather_v = self._gather_v
+        d._identity_order = self._identity_order
         return d
 
     def shard(self, mesh, rows: str = "dp", dense_cols: str = None):
@@ -246,6 +253,7 @@ class DeviceDesign:
         d.mult = None if self.mult is None else put(self.mult)
         d._index_map = put(self._index_map)
         d._gather_v = put(self._gather_v)
+        d._identity_order = self._identity_order
         return d
 
     @property
@@ -426,7 +434,7 @@ class DeviceDesign:
     def matvec(self, v: jax.Array) -> jax.Array:
         """``X @ v`` (traceable)."""
         v_eff = v * self.mult if self.mult is not None else v
-        v_blocks = jnp.take(v_eff, self._gather_v)
+        v_blocks = v_eff if self._identity_order else jnp.take(v_eff, self._gather_v)
         out = jnp.zeros(self.shape[0], dtype=v_eff.dtype)
         off = 0
         for b in self.blocks:
@@ -440,7 +448,7 @@ class DeviceDesign:
         """``X.T @ r`` (traceable)."""
         segs = [self._block_tmv(b, r) for b in self.blocks]
         flat = jnp.concatenate(segs)
-        out = jnp.take(flat, self._index_map)
+        out = flat if self._identity_order else jnp.take(flat, self._index_map)
         if self.mult is not None:
             out = out * self.mult
         if self.shift is not None:
@@ -600,6 +608,8 @@ class DeviceDesign:
             rows.append(jnp.concatenate(row_parts, axis=1))
 
         H_concat = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+        if self._identity_order:
+            return H_concat
         gidx = self._index_map
         return jnp.take(jnp.take(H_concat, gidx, axis=0), gidx, axis=1)
 
@@ -632,12 +642,13 @@ def _design_flatten(d: DeviceDesign):
         tuple((b.kind, tuple(b.arrays.keys()), b.width, b.positions.tobytes(),
                b.positions.dtype.str, len(b.positions), b.meta) for b in d.blocks),
         d.shape,
+        d._identity_order,
     )
     return children, aux
 
 
 def _design_unflatten(aux, children):
-    block_descs, shape = aux
+    block_descs, shape, identity_order = aux
     d = object.__new__(DeviceDesign)
     blocks = []
     i = 0
@@ -650,6 +661,7 @@ def _design_unflatten(aux, children):
         blocks.append(_Block(kind, arrays, width, positions, meta=meta))
     d.blocks = blocks
     d.shape = shape
+    d._identity_order = identity_order
     d.shift = children[i]
     d.mult = children[i + 1]
     d._index_map = children[i + 2]
