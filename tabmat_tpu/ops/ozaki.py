@@ -395,11 +395,36 @@ def _sandwich_pairs_mixed(QA, eA, QB, eB) -> jax.Array:
     return out * (eA[:, None] * eB[None, :])
 
 
+def _mixed_pairs(S_a: int, S_b: int):
+    return tuple(
+        (p, q)
+        for p in range(S_a)
+        for q in range(S_b)
+        if T7 * (p + 1) + T * (q + 1) <= 63
+    )
+
+
 @jax.jit
 def _sandwich_cached_mixed_jit(X, d, QB, eB):
+    from .._config import on_tpu
+    from . import pallas_pairs
+
     QA, eA = slice_matrix_f32planes(X * d[:, None])
-    n = X.shape[0]
+    n, k = X.shape
     n_pad = QB.shape[1] * QB.shape[2]  # the cache's padded row count
+    if on_tpu() and pallas_pairs.supported(n, k):
+        # fused pair kernel: each plane read from HBM exactly once
+        pairs = _mixed_pairs(QA.shape[0], QB.shape[0])
+        qa = jnp.pad(QA, [(0, 0), (0, n_pad - n), (0, 0)])
+        qb = QB.reshape(QB.shape[0], n_pad, k)
+        parts = pallas_pairs.pair_contractions(qa, qb, pairs)
+        tot = parts[:, 0].astype(jnp.float64) + parts[:, 1].astype(jnp.float64)
+        w = jnp.asarray(
+            [0.5 ** (T7 * (p + 1) + T * (q + 1)) for p, q in pairs],
+            dtype=jnp.float64,
+        )
+        out = jnp.einsum("pij,p->ij", tot, w)
+        return out * (eA[:, None] * eB[None, :])
     cm = _CHUNK_MIXED if n_pad % _CHUNK_MIXED == 0 else CHUNK
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     QA = jnp.pad(QA, pad).reshape(QA.shape[0], n_pad // cm, cm, X.shape[1])
