@@ -409,15 +409,24 @@ def _sandwich_cached_mixed_jit(X, d, QB, eB):
     from .._config import on_tpu
     from . import pallas_pairs
 
-    QA, eA = slice_matrix_f32planes(X * d[:, None])
     n, k = X.shape
     n_pad = QB.shape[1] * QB.shape[2]  # the cache's padded row count
     if on_tpu() and pallas_pairs.supported(n, k):
-        # fused pair kernel: each plane read from HBM exactly once
-        pairs = _mixed_pairs(QA.shape[0], QB.shape[0])
-        qa = jnp.pad(QA, [(0, 0), (0, n_pad - n), (0, 0)])
+        # fused kernel: the d-scaled side's T7 slices are built in VMEM
+        # from its two column-scaled f32 planes — no QA planes ever touch
+        # HBM, and each QB plane is read exactly once
+        A = X * d[:, None]
+        absmax = jnp.max(jnp.abs(A), axis=0, keepdims=True)
+        e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
+        eA = jnp.exp2(e)[0]
+        scaled = A * jnp.exp2(-e)
+        yh = scaled.astype(jnp.float32)
+        yl = (scaled - yh.astype(jnp.float64)).astype(jnp.float32)
+        yh = jnp.pad(yh, [(0, n_pad - n), (0, 0)])
+        yl = jnp.pad(yl, [(0, n_pad - n), (0, 0)])
+        pairs = _mixed_pairs(7, QB.shape[0])
         qb = QB.reshape(QB.shape[0], n_pad, k)
-        parts = pallas_pairs.pair_contractions(qa, qb, pairs)
+        parts = pallas_pairs.pair_contractions_sliced(yh, yl, qb, pairs)
         tot = parts[:, 0].astype(jnp.float64) + parts[:, 1].astype(jnp.float64)
         w = jnp.asarray(
             [0.5 ** (T7 * (p + 1) + T * (q + 1)) for p, q in pairs],
@@ -425,6 +434,7 @@ def _sandwich_cached_mixed_jit(X, d, QB, eB):
         )
         out = jnp.einsum("pij,p->ij", tot, w)
         return out * (eA[:, None] * eB[None, :])
+    QA, eA = slice_matrix_f32planes(X * d[:, None])
     cm = _CHUNK_MIXED if n_pad % _CHUNK_MIXED == 0 else CHUNK
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     QA = jnp.pad(QA, pad).reshape(QA.shape[0], n_pad // cm, cm, X.shape[1])

@@ -95,3 +95,86 @@ def supported(n: int, k: int) -> bool:
     # 28 pairs × 2 planes × k² f32 ≤ ~4 MB → k ≤ ~160 (k = 128-padded
     # lanes inside the kernel regardless)
     return k <= 160 and n >= TILE
+
+
+T7 = 7  # slice width (matches ozaki.T7)
+
+
+def _sliced_pairs_kernel(yh_ref, yl_ref, qb_ref, o_ref, *, pairs, n_qa):
+    """A-side slices built IN-KERNEL from the scaled f32 planes.
+
+    Saves the HBM round trip of the 7 bf16 QA planes (~1.4 GB at 1M×50):
+    the planes arrive as two (TILE, k) f32 refs and the T7 telescoping
+    rounds run in VMEM.
+    """
+    i = pl.program_id(0)
+    k = yh_ref.shape[1]
+    zeros = jnp.zeros((k, k), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        for idx in range(len(pairs)):
+            o_ref[idx, 0] = zeros
+            o_ref[idx, 1] = zeros
+
+    def plane_slices(x32):
+        R = [
+            jnp.round(x32 * jnp.float32(2.0 ** (p * T7)))
+            for p in range(n_qa + 1)
+        ]
+        return [R[1]] + [
+            R[p + 1] - jnp.float32(1 << T7) * R[p] for p in range(1, n_qa)
+        ]
+
+    qh = plane_slices(yh_ref[:])
+    ql = plane_slices(yl_ref[:])
+    qa = [(a + b).astype(jnp.bfloat16) for a, b in zip(qh, ql)]
+
+    for idx, (p, q) in enumerate(pairs):
+        part = jax.lax.dot_general(
+            qa[p],
+            qb_ref[q],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hi = o_ref[idx, 0]
+        s = hi + part
+        bb = s - hi
+        err = (hi - (s - bb)) + (part - bb)
+        o_ref[idx, 0] = s
+        o_ref[idx, 1] = o_ref[idx, 1] + err
+
+
+@partial(jax.jit, static_argnames=("pairs", "n_qa", "interpret"))
+def pair_contractions_sliced(yh, yl, qb, pairs, n_qa=7, interpret=False):
+    """Like :func:`pair_contractions` with the A planes sliced in VMEM.
+
+    yh, yl: (n_pad, k) f32 — the column-scaled value and its residual
+    (``x·2^-e`` split at f32).  qb: (S, n_pad, k) bf16 structural slices.
+    """
+    n_pad, k = yh.shape
+    S_b = qb.shape[0]
+    kernel = partial(_sliced_pairs_kernel, pairs=tuple(pairs), n_qa=n_qa)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE, k), lambda i: (i, i * 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE, k), lambda i: (i, i * 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (S_b, TILE, k), lambda i: (i * 0, i, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (len(pairs), 2, k, k),
+            lambda i: (i * 0, i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((len(pairs), 2, k, k), jnp.float32),
+        interpret=interpret,
+    )(yh, yl, qb)
