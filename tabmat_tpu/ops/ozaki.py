@@ -409,9 +409,15 @@ def _sandwich_cached_mixed_jit(X, d, QB, eB):
     from .._config import on_tpu
     from . import pallas_pairs
 
+    import os
+
     n, k = X.shape
     n_pad = QB.shape[1] * QB.shape[2]  # the cache's padded row count
-    if on_tpu() and pallas_pairs.supported(n, k):
+    if (
+        on_tpu()
+        and pallas_pairs.supported(n, k)
+        and os.environ.get("TABMAT_TPU_NO_FUSED_SANDWICH", "0") != "1"
+    ):
         # fused kernel: the d-scaled side's T7 slices are built in VMEM
         # from its two column-scaled f32 planes — no QA planes ever touch
         # HBM, and each QB plane is read exactly once
