@@ -202,12 +202,18 @@ class DenseMatrix(MatrixBase):
         if not is_identity_index(cols, self.shape[1]):
             cols_np = np.asarray(cols)
 
+        plane_cache = self._get_plane_cache() if cols_np is None else None
         S, k = dense_ops.sandwich_restricted(
             self._array,
             d,
             None if mask is None else jnp.asarray(mask),
             cols_np,
-            ozaki_cache=self._get_ozaki_cache() if cols_np is None else None,
+            ozaki_cache=(
+                self._get_ozaki_cache()
+                if cols_np is None and plane_cache is None
+                else None
+            ),
+            plane_cache=plane_cache,
         )
         if is_jax_array(d_in):
             return S[:k, :k] if S.shape[0] != k else S
@@ -235,6 +241,27 @@ class DenseMatrix(MatrixBase):
             self._ozaki_cache = ozaki.slice_matrix(self._array)
         return self._ozaki_cache
 
+    def _get_plane_cache(self):
+        """Structural f32-plane cache for the one-pass v3 sandwich kernel.
+
+        Half the HBM of the 7-slice bf16 cache (8 vs 14 bytes/element) and
+        the kernel never re-slices the d side in HBM — see
+        ``ops/pallas_sandwich_v3``.
+        """
+        from ..ops import pallas_sandwich_v3
+
+        n, k = self.shape
+        if not (
+            pallas_sandwich_v3.supported(n, k, self.dtype)
+            and self._ozaki_eligible()
+        ):
+            return None
+        if getattr(self, "_plane_cache", None) is None:
+            self._plane_cache = pallas_sandwich_v3.build_plane_cache(
+                self._array
+            )
+        return self._plane_cache
+
     def _get_ozaki_cache_T(self):
         """Transposed slice cache used by the exact-f64 matvec."""
         if not self._ozaki_eligible():
@@ -250,6 +277,7 @@ class DenseMatrix(MatrixBase):
         state = self.__dict__.copy()
         state["_ozaki_cache"] = None
         state["_ozaki_cache_T"] = None
+        state["_plane_cache"] = None
         return state
 
     def _cross_sandwich(

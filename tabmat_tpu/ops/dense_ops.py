@@ -89,7 +89,9 @@ def _f64_mode() -> str:
     return os.environ.get("TABMAT_TPU_F64_MODE", "ozaki")
 
 
-def sandwich(X: jax.Array, d: jax.Array, ozaki_cache=None) -> jax.Array:
+def sandwich(
+    X: jax.Array, d: jax.Array, ozaki_cache=None, plane_cache=None
+) -> jax.Array:
     """Unrestricted sandwich ``X.T @ diag(d) @ X`` → (k, k)."""
     if _use_pallas_sandwich(X):
         from .pallas_kernels import dense_sandwich_f32
@@ -100,6 +102,12 @@ def sandwich(X: jax.Array, d: jax.Array, ozaki_cache=None) -> jax.Array:
         if mode == "ozaki":
             from . import ozaki
 
+            if plane_cache is not None:
+                # one-pass self-slicing kernel: both sides sliced in VMEM
+                # from the structural f32 planes (pallas_sandwich_v3)
+                from . import pallas_sandwich_v3
+
+                return pallas_sandwich_v3.sandwich_from_cache(plane_cache, d)
             if ozaki_cache is not None:
                 return ozaki.sandwich_cached(X, d, ozaki_cache)
             return ozaki.sandwich(X, d)
@@ -250,6 +258,7 @@ def sandwich_restricted(
     cols: Optional[np.ndarray],
     bucket: bool = True,
     ozaki_cache=None,
+    plane_cache=None,
 ) -> tuple[jax.Array, int]:
     """Sandwich with active-set restriction.
 
@@ -258,7 +267,7 @@ def sandwich_restricted(
     """
     dm = apply_mask(d, row_mask) if row_mask is not None else d
     if cols is None:
-        S = sandwich(X, dm, ozaki_cache=ozaki_cache)
+        S = sandwich(X, dm, ozaki_cache=ozaki_cache, plane_cache=plane_cache)
         return S, S.shape[0]
     padded, colmask, k = pad_cols(np.asarray(cols), bucket)
     Xs = gather_cols(X, jnp.asarray(padded))

@@ -294,6 +294,11 @@ class DeviceDesign:
                     arrays.update(
                         ozk_QXT=QXT, ozk_eXT=eXT, ozk_QX=QX, ozk_eX=eX
                     )
+                pc = m._get_plane_cache()
+                if pc is not None:
+                    arrays.update(
+                        pln_xsh=pc.xsh, pln_xsl=pc.xsl, pln_exps=pc.exps
+                    )
                 return _Block("dense", arrays, m.shape[1], positions)
             if isinstance(m, SparseMatrix):
                 mirror = m._mirror_ozaki_caches()
@@ -543,7 +548,13 @@ class DeviceDesign:
         rows = []
         if Xd is not None:
             da = dense_blocks[0].arrays
-            if "ozk_QX" in da and Xd.dtype == jnp.float64:
+            if "pln_xsh" in da and Xd.dtype == jnp.float64:
+                from ..ops import pallas_sandwich_v3
+
+                S_dd = pallas_sandwich_v3.sandwich_v3(
+                    da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w
+                )
+            elif "ozk_QX" in da and Xd.dtype == jnp.float64:
                 from ..ops import ozaki
 
                 S_dd = ozaki.sandwich_cached(Xd, w, (da["ozk_QX"], da["ozk_eX"]))
