@@ -257,9 +257,15 @@ class DenseMatrix(MatrixBase):
         ):
             return None
         if getattr(self, "_plane_cache", None) is None:
-            self._plane_cache = pallas_sandwich_v3.build_plane_cache(
-                self._array
-            )
+            # narrow matrices pack G row-groups into the lanes (G·k ≤ 100)
+            if pallas_sandwich_v3.pack_group(k) > 1:
+                self._plane_cache = (
+                    pallas_sandwich_v3.build_plane_cache_packed(self._array)
+                )
+            else:
+                self._plane_cache = pallas_sandwich_v3.build_plane_cache(
+                    self._array
+                )
         return self._plane_cache
 
     def _get_ozaki_cache_T(self):

@@ -136,6 +136,7 @@ class SparseMatrix(MatrixBase):
         state["_pair_plan"] = None
         state["_array_csr"] = None
         state["_mirror_ozaki"] = None
+        state["_mirror_plane"] = None
         state["_wide_plan"] = None
         state["_cols2d_dev"] = None
         state["_rows2d_dev"] = None
@@ -242,6 +243,27 @@ class SparseMatrix(MatrixBase):
             QXT, eXT = ozaki.slice_matrix_T(dense)
             self._mirror_ozaki = (QX, eX, QXT, eXT)
         return self._mirror_ozaki
+
+    def _mirror_plane_cache(self):
+        """f32-plane cache over the mirror for the one-pass v3 sandwich."""
+        from ..ops import pallas_sandwich_v3
+
+        n, k = self.shape
+        if not pallas_sandwich_v3.supported(n, k, self.dtype):
+            return None
+        dense = self._dense_mirror()
+        if dense is None:
+            return None
+        if getattr(self, "_mirror_plane", None) is None:
+            if pallas_sandwich_v3.pack_group(k) > 1:
+                self._mirror_plane = (
+                    pallas_sandwich_v3.build_plane_cache_packed(dense)
+                )
+            else:
+                self._mirror_plane = pallas_sandwich_v3.build_plane_cache(
+                    dense
+                )
+        return self._mirror_plane
 
     def _pallas_cols2d(self, dtype):
         """Structural CSR-column gather layout (matvec: table = v, len k)."""
@@ -409,7 +431,13 @@ class SparseMatrix(MatrixBase):
                 None if rows is None else np.asarray(rows), self.shape[0], self.dtype
             )
             dm = d_dev if mask is None else d_dev * jnp.asarray(mask)
-            S = ozaki.sandwich_cached(self._dense_mirror(), dm, mirror[:2])
+            plane = self._mirror_plane_cache()
+            if plane is not None:
+                from ..ops import pallas_sandwich_v3
+
+                S = pallas_sandwich_v3.sandwich_from_cache(plane, dm)
+            else:
+                S = ozaki.sandwich_cached(self._dense_mirror(), dm, mirror[:2])
             if not is_identity_index(cols, self.shape[1]):
                 c = np.asarray(cols)
                 if is_jax_array(d_in):

@@ -238,8 +238,182 @@ def supported(n: int, k: int, dtype) -> bool:
     return k <= MAX_K and jnp.dtype(dtype) == jnp.float64
 
 
-def sandwich_from_cache(cache: PlaneCache, d) -> jax.Array:
+def sandwich_from_cache(cache, d) -> jax.Array:
+    if isinstance(cache, PackedPlaneCache):
+        return sandwich_v3_packed(cache, d)
     return sandwich_v3(cache.xsh, cache.xsl, cache.exps, d)
+
+
+# ---------------------------------------------------------------------------
+# Packed narrow variant: for k ≪ 128 lanes the straight kernel wastes the
+# VPU/MXU 128/k-fold (every (·, k) tile pads to 128 lanes).  The sandwich
+# is a sum over rows, so G row-groups can sit side-by-side in the lanes:
+# X (n, k) reshapes to (n/G, G·k) with packed[t, g·k+i] = X[t·G+g, i], the
+# same one-pass kernel runs on the packed layout (with d expanded to match
+# element-wise — no sub-tile d column any more), and the G diagonal k×k
+# blocks of the (G·k, G·k) result sum to the true sandwich.  Off-diagonal
+# blocks mix different original rows and are discarded.  G = MAX_K // k
+# keeps the VMEM envelope of the k = MAX_K case: 3M×3 packs 33-fold.
+# ---------------------------------------------------------------------------
+
+
+class PackedPlaneCache(NamedTuple):
+    xsh: jax.Array  # (n2_pad, G·k) f32 packed scaled planes
+    xsl: jax.Array
+    exps: jax.Array  # (G·k,) f64 per packed-column scales
+    n: int  # original row count
+    k: int  # original column count
+    G: int  # row-groups per packed row
+
+
+def pack_group(k: int) -> int:
+    return max(1, MAX_K // k)
+
+
+def build_plane_cache_packed(X: jax.Array) -> PackedPlaneCache:
+    n, k = X.shape
+    G = pack_group(k)
+    n2 = -(-n // G)
+    Xp = jnp.pad(X, [(0, n2 * G - n), (0, 0)]).reshape(n2, G * k)
+    c = build_plane_cache(Xp)
+    return PackedPlaneCache(c.xsh, c.xsl, c.exps, n, k, G)
+
+
+def _v3p_kernel(
+    xh_ref, xl_ref, dh_ref, dl_ref, ra_ref, o_ref, *, kp, n_planes, interpret
+):
+    i = pl.program_id(0)
+    npk = n_planes * kp
+    zeros = jnp.zeros((npk, npk), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[0] = zeros
+        o_ref[1] = zeros
+
+    ra = ra_ref[:]
+
+    def body(j, carry):
+        hi, lo = carry
+        xh = xh_ref[pl.ds(j * SUB, SUB), :]
+        xl = xl_ref[pl.ds(j * SUB, SUB), :]
+        dh = dh_ref[pl.ds(j * SUB, SUB), :]
+        dl = dl_ref[pl.ds(j * SUB, SUB), :]
+        p1 = xh * dh
+        if interpret:
+            perr = (
+                xh.astype(jnp.float64) * dh.astype(jnp.float64)
+                - p1.astype(jnp.float64)
+            ).astype(jnp.float32)
+        else:
+            perr = _two_prod_err(xh, dh, p1)
+        tail = perr + xh * dl + xl * dh + xl * dl
+        yh = p1 * ra
+        yl = tail * ra
+        qa = _plane_slices_pair(yh, yl, n_planes)
+        qb = _plane_slices_pair(xh, xl, n_planes)
+        part = jax.lax.dot_general(
+            jnp.concatenate(qa, axis=1),
+            jnp.concatenate(qb, axis=1),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = hi + part
+        bb = s - hi
+        err = (hi - (s - bb)) + (part - bb)
+        return s, lo + err
+
+    hi, lo = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(NSUB), body, (zeros, zeros)
+    )
+    ohi = o_ref[0]
+    s = ohi + hi
+    bb = s - ohi
+    err = (ohi - (s - bb)) + (hi - bb)
+    o_ref[0] = s
+    o_ref[1] = o_ref[1] + lo + err
+
+
+@partial(jax.jit, static_argnames=("n_planes", "interpret"))
+def _v3p_parts(xsh, xsl, dh, dl, ra, n_planes, interpret=False):
+    n_pad, kp = xsh.shape
+    kernel = partial(
+        _v3p_kernel, kp=kp, n_planes=n_planes, interpret=interpret
+    )
+    npk = n_planes * kp
+    spec = pl.BlockSpec((BT, kp), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // BT,),
+        in_specs=[
+            spec,
+            spec,
+            spec,
+            spec,
+            pl.BlockSpec((1, kp), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, npk, npk),
+            lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, npk, npk), jnp.float32),
+        interpret=interpret,
+    )(xsh, xsl, dh, dl, ra)
+
+
+def sandwich_v3_packed(cache: PackedPlaneCache, d, interpret=False):
+    return _sandwich_v3_packed_jit(
+        cache.xsh,
+        cache.xsl,
+        cache.exps,
+        d,
+        cache.n,
+        cache.k,
+        cache.G,
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "k", "G", "n_planes", "interpret"))
+def _sandwich_v3_packed_jit(
+    xsh, xsl, exps, d, n, k, G, n_planes=NP64, interpret=False
+):
+    """Exact ``X.T @ diag(d) @ X`` from the packed plane cache."""
+    n_pad2, kp = xsh.shape
+    d = jnp.asarray(d, dtype=jnp.float64)
+    md = jnp.max(jnp.abs(d))
+    eD = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(md, 1e-300))), -1000.0, 1000.0)
+    ds = d * jnp.exp2(-eD)
+    dsh1 = ds.astype(jnp.float32)
+    dsl1 = (ds - dsh1.astype(jnp.float64)).astype(jnp.float32)
+    n2 = -(-n // G)
+
+    def expand(v):  # (n,) → packed (n_pad2, G·k), lane-repeated per group
+        v = jnp.pad(v, (0, n2 * G - n)).reshape(n2, G)
+        v = jnp.repeat(v, k, axis=1)
+        return jnp.pad(v, [(0, n_pad2 - n2), (0, 0)])
+
+    dsh = expand(dsh1)
+    dsl = expand(dsl1)
+    m = jnp.max(jnp.abs(xsh) * jnp.abs(dsh), axis=0)
+    eA = jnp.ceil(
+        jnp.log2(jnp.maximum(m.astype(jnp.float64), 1e-300) * (1 + 1e-5))
+    )
+    eA = jnp.clip(eA, -100.0, 100.0)
+    ra = jnp.exp2(-eA).astype(jnp.float32).reshape(1, kp)
+    parts = _v3p_parts(xsh, xsl, dsh, dsl, ra, n_planes, interpret=interpret)
+    tot = parts[0].astype(jnp.float64) + parts[1].astype(jnp.float64)
+    tot = tot.reshape(n_planes, kp, n_planes, kp)
+    pq = jnp.arange(n_planes, dtype=jnp.float64)
+    w = jnp.exp2(-(T7 * (pq[:, None] + pq[None, :] + 2.0)))
+    out = jnp.einsum("piqj,pq->ij", tot, w)
+    scale_a = jnp.exp2(eA) * jnp.exp2(eD) * exps
+    out = out * (scale_a[:, None] * exps[None, :])
+    # sum the G diagonal k×k blocks; cross blocks mix distinct rows
+    out4 = out.reshape(G, k, G, k)
+    gi = jnp.arange(G)
+    return out4[gi, :, gi, :].sum(axis=0)
 
 
 @partial(jax.jit, static_argnames=("n_planes", "interpret"))

@@ -295,11 +295,17 @@ class DeviceDesign:
                         ozk_QXT=QXT, ozk_eXT=eXT, ozk_QX=QX, ozk_eX=eX
                     )
                 pc = m._get_plane_cache()
+                meta = ()
                 if pc is not None:
+                    from ..ops.pallas_sandwich_v3 import PackedPlaneCache
+
                     arrays.update(
                         pln_xsh=pc.xsh, pln_xsl=pc.xsl, pln_exps=pc.exps
                     )
-                return _Block("dense", arrays, m.shape[1], positions)
+                    if isinstance(pc, PackedPlaneCache):
+                        # static packing descriptor rides in the meta slot
+                        meta = ("pln_packed", pc.n, pc.k, pc.G)
+                return _Block("dense", arrays, m.shape[1], positions, meta)
             if isinstance(m, SparseMatrix):
                 mirror = m._mirror_ozaki_caches()
                 if mirror is not None:
@@ -551,9 +557,17 @@ class DeviceDesign:
             if "pln_xsh" in da and Xd.dtype == jnp.float64:
                 from ..ops import pallas_sandwich_v3
 
-                S_dd = pallas_sandwich_v3.sandwich_v3(
-                    da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w
-                )
+                dmeta = dense_blocks[0].meta
+                if dmeta and dmeta[0] == "pln_packed":
+                    _, pn, pk, pG = dmeta
+                    S_dd = pallas_sandwich_v3._sandwich_v3_packed_jit(
+                        da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w,
+                        pn, pk, pG,
+                    )
+                else:
+                    S_dd = pallas_sandwich_v3.sandwich_v3(
+                        da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w
+                    )
             elif "ozk_QX" in da and Xd.dtype == jnp.float64:
                 from ..ops import ozaki
 

@@ -98,6 +98,32 @@ def test_extreme_scales():
     assert _scaled_err(_run(X, d), (X.T * d) @ X) < 1e-13
 
 
+def _run_packed(X, d):
+    cache = v3.build_plane_cache_packed(jnp.asarray(X, jnp.float64))
+    return np.asarray(v3.sandwich_v3_packed(cache, jnp.asarray(d), interpret=True))
+
+
+@pytest.mark.parametrize("n,k", [(2048, 3), (5000, 1), (3000, 10), (2048, 33)])
+def test_packed_narrow(n, k):
+    # lane-packing: G = MAX_K // k row-groups side by side; diagonal
+    # blocks of the packed result sum to the true sandwich
+    rng = np.random.default_rng(n * k)
+    X = rng.standard_normal((n, k)) * np.exp(rng.uniform(-6, 6, (1, k)))
+    d = rng.uniform(0.1, 10.0, n) * np.exp(rng.uniform(-3, 3, n))
+    assert v3.pack_group(k) > 1
+    assert _scaled_err(_run_packed(X, d), (X.T * d) @ X) < 1e-13
+
+
+def test_packed_matches_plain():
+    rng = np.random.default_rng(7)
+    n, k = 2 * v3.BT, 5
+    X = rng.standard_normal((n, k))
+    d = rng.uniform(0.5, 2.0, n)
+    assert np.allclose(
+        _run_packed(X, d), _run(X, d), rtol=1e-13, atol=1e-13
+    )
+
+
 def test_huge_n_small_probe():
     # padding across several grid steps
     rng = np.random.default_rng(5)
