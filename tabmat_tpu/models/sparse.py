@@ -265,6 +265,27 @@ class SparseMatrix(MatrixBase):
                 )
         return self._mirror_plane
 
+    def _wide_matvec_plan(self):
+        """Wide-sparse int8-plane plan for matvec/tmv (None when not apt).
+
+        Only engages when the dense-mirror MXU path is unavailable (very
+        wide designs) — there the nonzero gather walk is ~13 ns/element
+        while one pass over the densified int8 planes is HBM-bound.
+        """
+        from ..ops import sparse_wide
+
+        n, k = self.shape
+        if not (
+            sparse_wide.supported(n, k, self._array.nnz, self.dtype)
+            and max(n, k) <= sparse_wide.MAX_CONTRACT
+        ):
+            return None
+        if self._dense_mirror() is not None:
+            return None
+        if self._wide_plan is None:
+            self._wide_plan = sparse_wide.WideSandwichPlan(self._array)
+        return self._wide_plan
+
     def _pallas_cols2d(self, dtype):
         """Structural CSR-column gather layout (matvec: table = v, len k)."""
         from ..ops import pallas_gather
@@ -580,6 +601,12 @@ class SparseMatrix(MatrixBase):
                 res_full = ozaki.transpose_matvec_cached(
                     mirror[0], mirror[1], v_eff
                 )
+            elif vec.ndim == 1 and v_eff.dtype == jnp.float64 and (
+                wplan := self._wide_matvec_plan()
+            ) is not None:
+                from ..ops import sparse_wide
+
+                res_full = sparse_wide.wide_transpose_matvec(wplan, v_eff)
             elif vec.ndim == 1:
                 data, row_idx, col_bounds = self._csc_parts()
                 rows2d = self._pallas_rows2d(v_eff.dtype)
@@ -626,6 +653,12 @@ class SparseMatrix(MatrixBase):
                 from ..ops import ozaki
 
                 res = ozaki.matvec_cached_T(mirror[2], mirror[3], v_eff)
+            elif vec.ndim == 1 and v_eff.dtype == jnp.float64 and (
+                wplan := self._wide_matvec_plan()
+            ) is not None:
+                from ..ops import sparse_wide
+
+                res = sparse_wide.wide_matvec(wplan, v_eff)
             elif vec.ndim == 1:
                 data, col_idx, row_bounds = self._csr_parts()
                 cols2d = self._pallas_cols2d(v_eff.dtype)

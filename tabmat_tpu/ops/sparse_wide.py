@@ -90,6 +90,7 @@ class WideSandwichPlan:
         abs_pad[cols, within] = np.abs(csc.data)
         self.abs_pad = jnp.asarray(abs_pad)
         self.gram = None  # cached XᵀX (f64), built on first use
+        self.struct = None  # cached structural int8 planes of X (matvec/tmv)
 
     # registered as a pytree below: the structural arrays ride into jit as
     # ARGUMENTS (device-resident, cache-friendly), never as HLO constants
@@ -127,6 +128,7 @@ def _plan_unflatten(aux, leaves):
     for k, v in zip(_PLAN_LEAVES, leaves):
         setattr(p, k, v)
     p.gram = None
+    p.struct = None
     return p
 
 
@@ -220,6 +222,156 @@ def _sym_sandwich(plan: WideSandwichPlan, sqrt_d: jax.Array) -> jax.Array:
             Spq = Spq + Spq.T
         S = S + Spq * (0.5 ** ((p + q + 2) * T_BITS))
     return S * (scale[:, None] * scale[None, :])
+
+
+# ---------------------------------------------------------------------------
+# Wide matvec / transpose-matvec on the same int8 machinery.
+#
+# The nonzero walk is gather-bound on this platform (~13 ns/element ≈ 52 ms
+# at 4M nnz) while one HBM pass over the densified int8 planes is ~3-4 ms,
+# so the MXU formulation wins despite reading 100× the nonzero bytes.  The
+# planes here are STRUCTURAL (d-independent, q_p of X/scale with per-column
+# power-of-two scales), built once and cached on the plan; the vector side
+# is sliced per call (k or n elements — negligible).  Every int8×int8
+# product is ≤ 2^13 and the i32 MXU accumulation is exact for contraction
+# lengths ≤ 2^18 (`supported` gates shapes well inside that).
+# Counterpart of the reference CSR walkers ``tabmat/ext/sparse.pyx:79-199``.
+# ---------------------------------------------------------------------------
+
+# exact i32 accumulation bound for the matvec/tmv contractions
+MAX_CONTRACT = 1 << 18
+
+
+def matvec_supported(plan: WideSandwichPlan) -> bool:
+    n, k = plan.shape
+    return max(n, k) <= MAX_CONTRACT
+
+
+@jax.jit
+def _structural_planes_jit(plan: WideSandwichPlan):
+    """Int8 slice planes of X itself: X = Σ_p q_p·2^-(p+1)T ⊙ scale[cols]."""
+    n, k = plan.shape
+    nnz = plan.nnz
+    colmax = jnp.max(plan.abs_pad, axis=1)
+    e = jnp.ceil(jnp.log2(jnp.maximum(colmax, 1e-300))) + 1.0
+    # plain XLA gather: this build runs ONCE per matrix (structural), so
+    # the ~13 ns/element serial gather is irrelevant — and it keeps this
+    # path runnable on CPU for the numerics tests
+    inv_scale = jnp.take(jnp.exp2(-e), plan.cols)
+    z = plan.vals * inv_scale
+    hi = z.astype(jnp.float32)
+    lo = (z - hi.astype(jnp.float64)).astype(jnp.float32)
+    packs = []
+    word = jnp.zeros((nnz,), jnp.int32)
+    for p in range(N_SLICES):
+        s_p = jnp.float32(1 << ((p + 1) * T_BITS))
+        w_p = jnp.float32(0.5 ** ((p + 1) * T_BITS))
+        qp = jnp.round(hi * s_p)
+        hi = hi - qp * w_p
+        s = hi + lo
+        bb = s - hi
+        lo = (hi - (s - bb)) + (lo - bb)
+        hi = s
+        word = word | ((qp.astype(jnp.int32) & 0xFF) << (8 * (p % 4)))
+        if p % 4 == 3 or p == N_SLICES - 1:
+            packs.append(word)
+            word = jnp.zeros((nnz,), jnp.int32)
+    dense_packs = [
+        jnp.zeros((n, k), jnp.int32).at[plan.rows, plan.cols].set(w)
+        for w in packs
+    ]
+    planes = []
+    for p in range(N_SLICES):
+        w = dense_packs[p // 4]
+        sh = 8 * (p % 4)
+        planes.append(((w << (24 - sh)) >> 24).astype(jnp.int8))
+    return tuple(planes), jnp.exp2(e)
+
+
+def _structural_planes(plan: WideSandwichPlan):
+    if plan.struct is None:
+        plan.struct = _structural_planes_jit(plan)
+    return plan.struct
+
+
+# vector-side slice count: the vector shares ONE global scale (the
+# contraction crosses columns), so its coverage must absorb the dynamic
+# range of scale⊙v on top of the 49 result bits.  14·7 = 98 bits keeps
+# full accuracy for ranges up to ~2^49; extra rhs columns are ~free on
+# the MXU.  The f32-pair carrier below runs dry past ~2^-46 of the lead
+# — later slices are exact zeros, harmless.
+N_VEC_SLICES = 14
+
+
+def _slice_vec_int8(u: jax.Array):
+    """Exact int8 slices of an f64 vector under one global scale.
+
+    Returns (U (len, N_VEC_SLICES) int8, exp f64) with
+    ``u ≈ (Σ_q U[:, q]·2^-(q+1)T) · exp`` to 98 bits below the largest
+    element (platform f64 is an (hi, lo) f32 pair).
+    """
+    m = jnp.max(jnp.abs(u))
+    e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-300))) + 1.0
+    z = u * jnp.exp2(-e)
+    hi = z.astype(jnp.float32)
+    lo = (z - hi.astype(jnp.float64)).astype(jnp.float32)
+    qs = []
+    for q in range(N_VEC_SLICES):
+        s_q = jnp.float32(1 << ((q + 1) * T_BITS))
+        w_q = jnp.float32(0.5 ** ((q + 1) * T_BITS))
+        qq = jnp.round(hi * s_q)
+        hi = hi - qq * w_q
+        s = hi + lo
+        bb = s - hi
+        lo = (hi - (s - bb)) + (lo - bb)
+        hi = s
+        qs.append(qq.astype(jnp.int8))
+    return jnp.stack(qs, axis=1), jnp.exp2(e)
+
+
+_PAIR_W = [
+    [0.5 ** ((p + q + 2) * T_BITS) for q in range(N_VEC_SLICES)]
+    for p in range(N_SLICES)
+]
+
+
+@jax.jit
+def _wide_matvec_jit(planes, scale, v):
+    u = scale * v  # exact: power-of-two per-column scales
+    U, eu = _slice_vec_int8(u)  # (k, N_SLICES)
+    parts = [
+        jax.lax.dot_general(
+            P, U, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float64)
+        for P in planes
+    ]  # each (n, N_SLICES), exact integers
+    w = jnp.asarray(_PAIR_W, dtype=jnp.float64)
+    return jnp.einsum("pnq,pq->n", jnp.stack(parts), w) * eu
+
+
+@jax.jit
+def _wide_tmv_jit(planes, scale, u):
+    U, eu = _slice_vec_int8(u)  # (n, N_SLICES)
+    parts = [
+        jax.lax.dot_general(
+            P, U, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float64)
+        for P in planes
+    ]  # each (k, N_SLICES)
+    w = jnp.asarray(_PAIR_W, dtype=jnp.float64)
+    return jnp.einsum("pkq,pq->k", jnp.stack(parts), w) * (eu * scale)
+
+
+def wide_matvec(plan: WideSandwichPlan, v: jax.Array) -> jax.Array:
+    """Exact ``X @ v`` via the cached structural int8 planes."""
+    planes, scale = _structural_planes(plan)
+    return _wide_matvec_jit(planes, scale, v)
+
+
+def wide_transpose_matvec(plan: WideSandwichPlan, u: jax.Array) -> jax.Array:
+    """Exact ``Xᵀ @ u`` via the cached structural int8 planes."""
+    planes, scale = _structural_planes(plan)
+    return _wide_tmv_jit(planes, scale, u)
 
 
 @jax.jit
