@@ -23,6 +23,7 @@ from ..utils import (
     check_matvec_dimensions,
     check_sandwich_compatible,
     check_transpose_matvec_out_shape,
+    is_identity_index,
     is_jax_array,
     set_up_rows_or_cols,
     setup_restrictions,
@@ -78,26 +79,59 @@ class StandardizedMatrix:
         self.shape = mat.shape
         self.ndim = mat.ndim
         self.dtype = mat.dtype
+        # lazily-built device mirrors of shift/mult: a fresh
+        # ``jnp.asarray(numpy)`` per call is a new host->device upload
+        # through the relay (~1 round trip each), which serializes the
+        # otherwise-async op chain
+        self._shift_dev = None
+        self._mult_dev = None
+
+    def _device_shift(self):
+        if self._shift_dev is None:
+            self._shift_dev = jnp.asarray(self.shift)
+        return self._shift_dev
+
+    def _device_mult(self):
+        if self.mult is not None and self._mult_dev is None:
+            self._mult_dev = jnp.asarray(self.mult)
+        return self._mult_dev
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_shift_dev"] = None
+        state["_mult_dev"] = None
+        return state
 
     # -- core ops --------------------------------------------------------
 
     def matvec(self, other_mat, cols: Optional[np.ndarray] = None, out=None):
         """``self[:, cols] @ other[cols]`` (dense output)."""
-        cols = set_up_rows_or_cols(cols, self.shape[1])
         other_in = other_mat
         xp = jnp if is_jax_array(other_in) else np
         other_mat = other_in if is_jax_array(other_in) else np.asarray(other_in)
         check_matvec_dimensions(self, other_mat, transpose=False)
 
+        k = self.shape[1]
+        full_cols = cols is None or len(np.asarray(cols)) == k
+        cols = None if full_cols else set_up_rows_or_cols(cols, k)
+
+        shift = self._device_shift() if xp is jnp else self.shift
+        mult = (self._device_mult() if xp is jnp else self.mult)
+
         mult_other = other_mat
-        if self.mult is not None:
-            mult = xp.asarray(self.mult)
+        if mult is not None:
             for _ in range(other_mat.ndim - 1):
                 mult = mult[:, None]
             mult_other = mult * other_mat
 
         mat_part = self.mat.matvec(mult_other, cols, out=out)
-        shift_part = xp.asarray(self.shift)[cols].dot(other_mat[cols, ...])
+        if full_cols:
+            shift_part = shift.dot(other_mat)
+        elif xp is jnp:
+            ci = jnp.asarray(cols)
+            shift_part = jnp.take(shift, ci).dot(jnp.take(other_mat, ci, axis=0))
+        else:
+            shift_part = shift[cols].dot(other_mat[cols, ...])
         if isinstance(mat_part, np.ndarray) and mat_part.flags.writeable:
             mat_part += np.asarray(shift_part)
             return mat_part
@@ -125,22 +159,39 @@ class StandardizedMatrix:
         res = res if is_jax_array(res) else np.asarray(res)
 
         rows_idx, cols_idx = setup_restrictions(self.shape, rows, cols)
+        # output is ORDERED by cols, so only the true identity skips gathers
+        full_cols = is_identity_index(cols, self.shape[1])
         if rows is None or len(rows_idx) == self.shape[0]:
             other_sum = xp.sum(other, 0)  # avoid the O(n) identity gather
+        elif xp is jnp:
+            other_sum = jnp.sum(jnp.take(other, jnp.asarray(rows_idx), axis=0), 0)
         else:
-            other_sum = xp.sum(other[rows_idx], 0)
+            other_sum = np.sum(other[rows_idx], 0)
 
-        shift_part_tmp = xp.outer(xp.asarray(self.shift)[cols_idx], other_sum)
+        shift = self._device_shift() if xp is jnp else self.shift
+        if full_cols:
+            shift_lim = shift
+        elif xp is jnp:
+            shift_lim = jnp.take(shift, jnp.asarray(cols_idx))
+        else:
+            shift_lim = shift[cols_idx]
+        shift_part_tmp = xp.outer(shift_lim, other_sum)
         output_shape = (
             (self.shape[1] if cols is None else len(cols_idx)),
         ) + tuple(res.shape[1:])
         shift_part = xp.reshape(shift_part_tmp, output_shape)
 
         if self.mult is not None:
-            mult = xp.asarray(self.mult)
+            mult = self._device_mult() if xp is jnp else self.mult
+            if full_cols:
+                mult_lim = mult
+            elif xp is jnp:
+                mult_lim = jnp.take(mult, jnp.asarray(cols_idx))
+            else:
+                mult_lim = mult[cols_idx]
             for _ in range(res.ndim - 1):
-                mult = mult[:, None]
-            res = res * mult[cols_idx]
+                mult_lim = mult_lim[:, None]
+            res = res * mult_lim
         res = res + shift_part
 
         if out is None:
@@ -222,12 +273,16 @@ class StandardizedMatrix:
         limited_mult = (
             None
             if self.mult is None
-            else jnp.asarray(self.mult[cols] if cols is not None else self.mult)
+            else (
+                jnp.asarray(self.mult[cols])
+                if cols is not None
+                else self._device_mult()
+            )
         )
         if limited_mult is not None:
             d_mat = d_mat * limited_mult
-        limited_shift = jnp.asarray(
-            self.shift[cols] if cols is not None else self.shift
+        limited_shift = (
+            jnp.asarray(self.shift[cols]) if cols is not None else self._device_shift()
         )
         d_sum = (
             jnp.sum(jnp.take(d_dev, jnp.asarray(rows)))
