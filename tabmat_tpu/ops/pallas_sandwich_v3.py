@@ -389,14 +389,28 @@ def _sandwich_v3_packed_jit(
     dsl1 = (ds - dsh1.astype(jnp.float64)).astype(jnp.float32)
     n2 = -(-n // G)
 
-    def expand(v):  # (n,) → packed (n_pad2, G·k), lane-repeated per group
+    def compact(v):  # (n,) → (n_pad2, G) group columns
         v = jnp.pad(v, (0, n2 * G - n)).reshape(n2, G)
-        v = jnp.repeat(v, k, axis=1)
         return jnp.pad(v, [(0, n_pad2 - n2), (0, 0)])
 
-    dsh = expand(dsh1)
-    dsl = expand(dsl1)
-    m = jnp.max(jnp.abs(xsh) * jnp.abs(dsh), axis=0)
+    dshc = compact(dsh1)
+    dslc = compact(dsl1)
+
+    def expand(vc):  # (n_pad2, G) → (n_pad2, G·k), lane-repeated per group
+        # broadcast+reshape (one relayout write) — jnp.repeat lowers to a
+        # gather and costs ~2× more on the 200 MB expanded planes
+        return jnp.broadcast_to(vc[:, :, None], (n_pad2, G, k)).reshape(
+            n_pad2, kp
+        )
+
+    dsh = expand(dshc)
+    dsl = expand(dslc)
+    # per-packed-column max of |xs·ds| from the COMPACT d (reads xsh once;
+    # the expanded-operand form re-read 2× the bytes)
+    m = jnp.max(
+        jnp.abs(xsh).reshape(n_pad2, G, k) * jnp.abs(dshc)[:, :, None],
+        axis=0,
+    ).reshape(kp)
     eA = jnp.ceil(
         jnp.log2(jnp.maximum(m.astype(jnp.float64), 1e-300) * (1 + 1e-5))
     )
