@@ -126,6 +126,9 @@ class SparseMatrix(MatrixBase):
         self._wide_plan = None  # sparse_wide.WideSandwichPlan (huge k)
         self._cols2d_dev = None  # Pallas gather layout of CSR col indices
         self._rows2d_dev = None  # Pallas gather layout of CSC row indices
+        self._bounds_wplan = None  # windowed-take plan over CSR indptr
+        self._rowid_wplan = None  # windowed-take plan over CSR nnz row ids
+        self._col_codes_dev = None  # segsum layout of CSR col indices
 
     def __getstate__(self):
         """Pickle only host state; device mirrors rebuild lazily on load."""
@@ -140,6 +143,9 @@ class SparseMatrix(MatrixBase):
         state["_wide_plan"] = None
         state["_cols2d_dev"] = None
         state["_rows2d_dev"] = None
+        state["_bounds_wplan"] = None
+        state["_rowid_wplan"] = None
+        state["_col_codes_dev"] = None
         return state
 
     # -- device mirrors --------------------------------------------------
@@ -285,6 +291,65 @@ class SparseMatrix(MatrixBase):
         if self._wide_plan is None:
             self._wide_plan = sparse_wide.WideSandwichPlan(self._array)
         return self._wide_plan
+
+    def _window_matvec_parts(self, dtype):
+        """Windowed-boundary CSR matvec pieces, or None when not apt.
+
+        Engages on TPU for 1-D f32/f64 vectors when every (BR·128,)-tile
+        of the indptr spans ≤ MAX_WINDOW_ROWS table rows (structural).
+        """
+        from ..ops import pallas_gather, pallas_window_take
+
+        if not pallas_window_take.supported(dtype):
+            return None
+        if self._bounds_wplan is None:
+            csr = self.array_csr
+            plan = pallas_window_take.build_plan(csr.indptr)
+            if plan is None:
+                self._bounds_wplan = ()
+            else:
+                self._bounds_wplan = (plan, jnp.asarray(plan.codes2d))
+        if self._bounds_wplan == ():
+            return None
+        plan, bcodes2d = self._bounds_wplan
+        cols2d = self._pallas_cols2d(dtype)
+        if cols2d is not None:
+            return bcodes2d, plan.window, cols2d, True
+        return bcodes2d, plan.window, self._csr_parts()[1], False
+
+    def _window_tmv_parts(self, dtype):
+        """Windowed CSR transpose-matvec pieces, or None when not apt."""
+        from ..ops import pallas_segsum, pallas_window_take
+
+        n, k = self.shape
+        if not pallas_window_take.supported(dtype):
+            return None
+        if not pallas_segsum.supported_any(k, dtype, n=self._array.nnz):
+            return None
+        if self._rowid_wplan is None:
+            csr = self.array_csr
+            row_ids = np.repeat(
+                np.arange(n, dtype=np.int32), np.diff(csr.indptr)
+            )
+            plan = pallas_window_take.build_plan(row_ids)
+            if plan is None:
+                self._rowid_wplan = ()
+            else:
+                self._rowid_wplan = (
+                    plan,
+                    jnp.asarray(plan.codes2d),
+                )
+        if self._rowid_wplan == ():
+            return None
+        if self._col_codes_dev is None:
+            csr = self.array_csr
+            self._col_codes_dev = jnp.asarray(
+                pallas_segsum.build_codes_col(
+                    csr.indices.astype(np.int32, copy=False)
+                )
+            )
+        plan, rcodes2d = self._rowid_wplan
+        return rcodes2d, plan.window, self._col_codes_dev
 
     def _pallas_cols2d(self, dtype):
         """Structural CSR-column gather layout (matvec: table = v, len k)."""
@@ -594,8 +659,24 @@ class SparseMatrix(MatrixBase):
                 mask = rows_to_mask(np.asarray(rows), n, np.dtype(vec.dtype))
                 m = jnp.asarray(mask)
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
-            mirror = self._mirror_ozaki_caches() if vec.ndim == 1 else None
-            if mirror is not None and v_eff.dtype == jnp.float64:
+            wtmv = self._window_tmv_parts(v_eff.dtype) if vec.ndim == 1 else None
+            mirror = (
+                self._mirror_ozaki_caches()
+                if vec.ndim == 1 and wtmv is None
+                else None
+            )
+            if wtmv is not None:
+                rcodes2d, W, col_codes = wtmv
+                res_full = sparse_ops.csr_tmv_window(
+                    self._csr_parts()[0],
+                    rcodes2d,
+                    col_codes,
+                    v_eff,
+                    int(self._array.nnz),
+                    k,
+                    W,
+                )
+            elif mirror is not None and v_eff.dtype == jnp.float64:
                 from ..ops import ozaki
 
                 res_full = ozaki.transpose_matvec_cached(
@@ -648,8 +729,25 @@ class SparseMatrix(MatrixBase):
                 cmask[np.asarray(cols)] = 1
                 m = jnp.asarray(cmask)
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
-            mirror = self._mirror_ozaki_caches() if vec.ndim == 1 else None
-            if mirror is not None and v_eff.dtype == jnp.float64:
+            wmv = self._window_matvec_parts(v_eff.dtype) if vec.ndim == 1 else None
+            mirror = (
+                self._mirror_ozaki_caches()
+                if vec.ndim == 1 and wmv is None
+                else None
+            )
+            if wmv is not None:
+                bcodes2d, W, colref, use_pg = wmv
+                res = sparse_ops.csr_matvec_window(
+                    self._csr_parts()[0],
+                    colref,
+                    bcodes2d,
+                    v_eff,
+                    int(self._array.nnz),
+                    n,
+                    W,
+                    use_pg,
+                )
+            elif mirror is not None and v_eff.dtype == jnp.float64:
                 from ..ops import ozaki
 
                 res = ozaki.matvec_cached_T(mirror[2], mirror[3], v_eff)
