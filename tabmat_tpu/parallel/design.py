@@ -86,12 +86,14 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
     # cross-pair plans for the explicit design sandwich (built when the
     # product of widths is bounded — the same feasibility as the sandwich)
     widths = tuple(m.shape[1] for m, _ in cat_pairs)
+    xwins = ()
     if all(
         w1 * w2 <= (1 << 24)
         for a, w1 in enumerate(widths)
         for w2 in widths[a + 1 :]
     ):
         from .. import _native
+        from ..ops import pallas_window_take
 
         for a in range(len(cat_pairs)):
             for b in range(a + 1, len(cat_pairs)):
@@ -109,12 +111,22 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
                             np.asarray(combined, dtype=np.int32)
                         )
                     )
+                elif pallas_window_take.supported(np.float64):
+                    # wide cross (w1·w2 past the one-hot kernels): the
+                    # boundary gathers at (w1·w2+1,) sorted bounds are the
+                    # dominant cost of the cumsum fallback — plan a
+                    # windowed monotone take for them (TPU only: the take
+                    # is a Pallas kernel, CPU/dryrun keep the XLA path)
+                    bplan = pallas_window_take.build_plan(bounds)
+                    if bplan is not None:
+                        arrays[f"xbcodes_{a}_{b}"] = jnp.asarray(bplan.codes2d)
+                        xwins += ((a, b, bplan.window),)
     return _Block(
         "catstack",
         arrays,
         total_width,
         np.concatenate(pos_parts),
-        meta=widths,
+        meta=(widths, xwins),
     )
 
 
@@ -414,7 +426,7 @@ class DeviceDesign:
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
             return jnp.take(p, a["csc_bounds"][1:]) - jnp.take(p, a["csc_bounds"][:-1])
         if block.kind == "catstack":
-            widths = block.meta
+            widths = block.meta[0]
             if r.dtype in (jnp.float32, jnp.float64) and all(
                 f"ccol_{ci}" in a for ci in range(len(widths))
             ):
@@ -485,7 +497,7 @@ class DeviceDesign:
             return False  # explicit assembly assumes a single dense block
         for b in self.blocks:
             if b.kind == "catstack":
-                widths = b.meta
+                widths = b.meta[0]
                 for a in range(len(widths)):
                     for c in range(a + 1, len(widths)):
                         if f"xperm_{a}_{c}" not in b.arrays:
@@ -520,7 +532,8 @@ class DeviceDesign:
                      b.arrays.get("ccol_0"))
                 )
             elif b.kind == "catstack":
-                widths = b.meta
+                widths, xwins = b.meta
+                xwin_map = {(a_, c_): w_ for a_, c_, w_ in xwins}
                 off_flat = 0
                 start_off = 0
                 for ci, wc in enumerate(widths):
@@ -545,6 +558,8 @@ class DeviceDesign:
                             b.arrays[f"xperm_{a}_{c}"],
                             b.arrays[f"xbounds_{a}_{c}"],
                             b.arrays.get(f"xccol_{a}_{c}"),
+                            b.arrays.get(f"xbcodes_{a}_{c}"),
+                            xwin_map.get((a, c)),
                         )
 
         Xd = dense_blocks[0].arrays["X"] if dense_blocks else None
@@ -619,9 +634,28 @@ class DeviceDesign:
                         diag = seg_sum(perm_i, starts_i, ends_i, w)
                     row_parts.append(jnp.diag(diag))
                 elif (min(i, j), max(i, j)) in cross:
-                    xperm, xbounds, xccol = cross[(min(i, j), max(i, j))]
+                    xperm, xbounds, xccol, xbcodes, xwin = cross[
+                        (min(i, j), max(i, j))
+                    ]
                     if xccol is not None and w_seg_ok:
                         flat = pallas_segsum.segsum_auto(w, xccol, wi * wj)
+                    elif xbcodes is not None and w_seg_ok:
+                        # wide cross: windowed monotone take at the sorted
+                        # (wi·wj+1,) bounds replaces two element-serial
+                        # XLA takes (~13 ns/idx — 26 ms at 1M² cells)
+                        from ..ops import pallas_window_take as pwt
+
+                        csum = jnp.cumsum(jnp.take(w, xperm))
+                        p = jnp.concatenate(
+                            [jnp.zeros((1,), csum.dtype), csum]
+                        )
+                        take = (
+                            pwt._take_f64
+                            if p.dtype == jnp.float64
+                            else pwt._take_f32
+                        )
+                        bvals = take(p, xbcodes, wi * wj + 1, xwin)
+                        flat = bvals[1:] - bvals[:-1]
                     else:
                         flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)
                     if i < j:
