@@ -227,7 +227,9 @@ class DeviceDesign:
         for b in self.blocks:
             arrs = {}
             for key, v in b.arrays.items():
-                if key == "codes2d" or key.startswith(("ccol", "xccol")):
+                if key == "codes2d" or key.startswith(
+                    ("ccol", "xccol", "xbcodes", "csr_bcodes", "csc_bcodes")
+                ):
                     continue  # Pallas-only layouts: see docstring
                 if b.kind == "dense":
                     if key == "X":
@@ -335,14 +337,33 @@ class DeviceDesign:
                     )
                 data_r, cols_r, bounds_r = m._csr_parts()
                 data_c, rows_c, bounds_c = m._csc_parts()
+                arrays = {
+                    "csr_data": data_r, "csr_cols": cols_r, "csr_bounds": bounds_r,
+                    "csc_data": data_c, "csc_rows": rows_c, "csc_bounds": bounds_c,
+                }
+                meta = (None, None)
+                from ..ops import pallas_window_take as pwt
+
+                if pwt.supported(np.float64):
+                    # windowed monotone takes for the indptr boundary
+                    # diffs (the element-serial XLA takes dominate at
+                    # benchmark scales); TPU-gated — dryrun keeps XLA
+                    rplan = pwt.build_plan(np.asarray(m.array_csr.indptr))
+                    cplan = pwt.build_plan(np.asarray(m._array.indptr))
+                    wr = wc = None
+                    if rplan is not None:
+                        arrays["csr_bcodes"] = jnp.asarray(rplan.codes2d)
+                        wr = rplan.window
+                    if cplan is not None:
+                        arrays["csc_bcodes"] = jnp.asarray(cplan.codes2d)
+                        wc = cplan.window
+                    meta = (wr, wc)
                 return _Block(
                     "sparse",
-                    {
-                        "csr_data": data_r, "csr_cols": cols_r, "csr_bounds": bounds_r,
-                        "csc_data": data_c, "csc_rows": rows_c, "csc_bounds": bounds_c,
-                    },
+                    arrays,
                     m.shape[1],
                     positions,
+                    meta=meta,
                 )
             if isinstance(m, CategoricalMatrix):
                 plan = m.plan
@@ -387,6 +408,12 @@ class DeviceDesign:
             t = a["csr_data"] * jnp.take(v, a["csr_cols"])
             csum = jnp.cumsum(t)
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            if "csr_bcodes" in a and p.dtype in (jnp.float32, jnp.float64):
+                from ..ops import pallas_window_take as pwt
+
+                take = pwt._take_f64 if p.dtype == jnp.float64 else pwt._take_f32
+                b = take(p, a["csr_bcodes"], self.shape[0] + 1, block.meta[0])
+                return b[1:] - b[:-1]
             return jnp.take(p, a["csr_bounds"][1:]) - jnp.take(p, a["csr_bounds"][:-1])
         if block.kind == "catstack":
             n_cat = a["codes"].shape[0]
@@ -424,6 +451,12 @@ class DeviceDesign:
             t = a["csc_data"] * jnp.take(r, a["csc_rows"])
             csum = jnp.cumsum(t)
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            if "csc_bcodes" in a and p.dtype in (jnp.float32, jnp.float64):
+                from ..ops import pallas_window_take as pwt
+
+                take = pwt._take_f64 if p.dtype == jnp.float64 else pwt._take_f32
+                b = take(p, a["csc_bcodes"], block.width + 1, block.meta[1])
+                return b[1:] - b[:-1]
             return jnp.take(p, a["csc_bounds"][1:]) - jnp.take(p, a["csc_bounds"][:-1])
         if block.kind == "catstack":
             widths = block.meta[0]
