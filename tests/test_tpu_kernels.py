@@ -70,3 +70,34 @@ def test_cat_matvec_class_layer_on_tpu():
     eff = codes - 1
     ref = np.where(eff >= 0, v[np.clip(eff, 0, None)], 0.0)
     assert np.abs(got - ref).max() < 1e-13
+
+
+def test_windowed_take_monotone_f64():
+    from tabmat_tpu.ops import pallas_window_take as wt
+
+    rng = np.random.default_rng(11)
+    idx = np.sort(rng.integers(0, 50_000, size=200_000))
+    plan = wt.build_plan(idx)
+    assert plan is not None
+    src = rng.standard_normal(50_000)
+    got = np.asarray(
+        wt.monotone_take(jnp.asarray(src), plan, jnp.asarray(plan.codes2d))
+    )
+    # platform f64 == (hi, lo) f32 pair: exact round-trip on device
+    np.testing.assert_array_equal(got, src[idx])
+
+
+def test_sparse_windowed_matvec_tmv_routes():
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(12)
+    S = sps.random(40_000, 100, density=0.01, format="csc", random_state=5)
+    X = tm.SparseMatrix(S)
+    assert X._window_matvec_parts(np.float64) is not None
+    assert X._window_tmv_parts(np.float64) is not None
+    v = rng.standard_normal(100)
+    w = rng.standard_normal(40_000)
+    np.testing.assert_allclose(np.asarray(X.matvec(v)), S @ v, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(X.transpose_matvec(w)), S.T @ w, rtol=1e-12
+    )
