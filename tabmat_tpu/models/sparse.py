@@ -308,14 +308,18 @@ class SparseMatrix(MatrixBase):
             if plan is None:
                 self._bounds_wplan = ()
             else:
-                self._bounds_wplan = (plan, jnp.asarray(plan.codes2d))
+                self._bounds_wplan = (
+                    plan,
+                    jnp.asarray(plan.codes2d),
+                    jnp.asarray(plan.ws),
+                )
         if self._bounds_wplan == ():
             return None
-        plan, bcodes2d = self._bounds_wplan
+        plan, bcodes2d, bws = self._bounds_wplan
         cols2d = self._pallas_cols2d(dtype)
         if cols2d is not None:
-            return bcodes2d, plan.window, cols2d, True
-        return bcodes2d, plan.window, self._csr_parts()[1], False
+            return bcodes2d, bws, plan.window, cols2d, True
+        return bcodes2d, bws, plan.window, self._csr_parts()[1], False
 
     def _window_tmv_parts(self, dtype):
         """Windowed CSR transpose-matvec pieces, or None when not apt."""
@@ -338,6 +342,7 @@ class SparseMatrix(MatrixBase):
                 self._rowid_wplan = (
                     plan,
                     jnp.asarray(plan.codes2d),
+                    jnp.asarray(plan.ws),
                 )
         if self._rowid_wplan == ():
             return None
@@ -348,8 +353,8 @@ class SparseMatrix(MatrixBase):
                     csr.indices.astype(np.int32, copy=False)
                 )
             )
-        plan, rcodes2d = self._rowid_wplan
-        return rcodes2d, plan.window, self._col_codes_dev
+        plan, rcodes2d, rws = self._rowid_wplan
+        return rcodes2d, rws, plan.window, self._col_codes_dev
 
     def _pallas_cols2d(self, dtype):
         """Structural CSR-column gather layout (matvec: table = v, len k)."""
@@ -666,10 +671,11 @@ class SparseMatrix(MatrixBase):
                 else None
             )
             if wtmv is not None:
-                rcodes2d, W, col_codes = wtmv
+                rcodes2d, rws, W, col_codes = wtmv
                 res_full = sparse_ops.csr_tmv_window(
                     self._csr_parts()[0],
                     rcodes2d,
+                    rws,
                     col_codes,
                     v_eff,
                     int(self._array.nnz),
@@ -736,11 +742,12 @@ class SparseMatrix(MatrixBase):
                 else None
             )
             if wmv is not None:
-                bcodes2d, W, colref, use_pg = wmv
+                bcodes2d, bws, W, colref, use_pg = wmv
                 res = sparse_ops.csr_matvec_window(
                     self._csr_parts()[0],
                     colref,
                     bcodes2d,
+                    bws,
                     v_eff,
                     int(self._array.nnz),
                     n,

@@ -48,15 +48,20 @@ MAX_WINDOW_ROWS = 1024
 class MonotonePlan:
     """Structural plan for a windowed take over a fixed sorted index array.
 
-    Host-side; upload of ``codes2d`` happens lazily on first use and is
-    cached by the owner.  ``None``-able: :func:`build_plan` returns None
-    when the indices are not monotone or some tile spans too many rows.
+    Host-side; uploads of ``codes2d``/``ws`` happen lazily on first use
+    and are cached by the owner.  ``None``-able: :func:`build_plan`
+    returns None when the indices are not monotone or some tile spans
+    too many rows.  ``ws`` holds each tile's first touched table row
+    (UNclipped — the kernel clamps against the padded table height),
+    precomputed on host so the kernel derives no dynamic index from a
+    vector reduce (Mosaic wants scalar indices from SMEM).
     """
 
-    __slots__ = ("codes2d", "window", "n")
+    __slots__ = ("codes2d", "ws", "window", "n")
 
-    def __init__(self, codes2d: np.ndarray, window: int, n: int):
+    def __init__(self, codes2d: np.ndarray, ws: np.ndarray, window: int, n: int):
         self.codes2d = codes2d
+        self.ws = ws
         self.window = window
         self.n = n
 
@@ -76,19 +81,22 @@ def build_plan(idx: np.ndarray) -> "MonotonePlan | None":
     codes2d = flat.reshape(rows_pad, LANE)
     hi = codes2d >> 7
     tiles = hi.reshape(-1, BR * LANE)
-    span = int((tiles.max(axis=1) - tiles.min(axis=1)).max()) + 1
+    ws = tiles.min(axis=1).astype(np.int32)
+    span = int((tiles.max(axis=1) - ws).max()) + 1
     window = min(-(-span // 8) * 8 + 8, MAX_WINDOW_ROWS)
     if span > MAX_WINDOW_ROWS:
         return None
-    return MonotonePlan(codes2d, window, n)
+    return MonotonePlan(codes2d, ws, window, n)
 
 
-def _window_kernel_1plane(tab_ref, c_ref, o_ref, *, W):
+def _window_kernel_1plane(ws_ref, tab_ref, c_ref, o_ref, *, W):
     C = tab_ref.shape[0]
     codes = c_ref[:]
     hi = codes >> 7
     lo = codes & (LANE - 1)
-    row0 = jnp.clip(jnp.min(hi), jnp.int32(0), jnp.maximum(jnp.int32(C - W), 0))
+    row0 = jnp.clip(
+        ws_ref[pl.program_id(0)], jnp.int32(0), jnp.int32(max(C - W, 0))
+    )
 
     def body(t, acc):
         r = row0 + t
@@ -102,12 +110,14 @@ def _window_kernel_1plane(tab_ref, c_ref, o_ref, *, W):
     )
 
 
-def _window_kernel_2plane(t0_ref, t1_ref, c_ref, o0_ref, o1_ref, *, W):
+def _window_kernel_2plane(ws_ref, t0_ref, t1_ref, c_ref, o0_ref, o1_ref, *, W):
     C = t0_ref.shape[0]
     codes = c_ref[:]
     hi = codes >> 7
     lo = codes & (LANE - 1)
-    row0 = jnp.clip(jnp.min(hi), jnp.int32(0), jnp.maximum(jnp.int32(C - W), 0))
+    row0 = jnp.clip(
+        ws_ref[pl.program_id(0)], jnp.int32(0), jnp.int32(max(C - W, 0))
+    )
 
     def body(t, accs):
         a0, a1 = accs
@@ -126,7 +136,7 @@ def _window_kernel_2plane(t0_ref, t1_ref, c_ref, o0_ref, o1_ref, *, W):
 
 
 @partial(jax.jit, static_argnames=("n", "W", "interpret"))
-def _take_f32(src, codes2d, n, W, interpret=False):
+def _take_f32(src, codes2d, ws, n, W, interpret=False):
     tab2d = _pad_table_2d(src)
     C = tab2d.shape[0]
     if C < W:
@@ -135,20 +145,23 @@ def _take_f32(src, codes2d, n, W, interpret=False):
     R = codes2d.shape[0]
     out = pl.pallas_call(
         partial(_window_kernel_1plane, W=W),
-        grid=(R // BR,),
-        in_specs=[
-            pl.BlockSpec((C, LANE), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANE), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BR, LANE), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // BR,),
+            in_specs=[
+                pl.BlockSpec((C, LANE), lambda i, ws: (0, 0)),
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((R, LANE), src.dtype),
         interpret=interpret,
-    )(tab2d, codes2d)
+    )(ws, tab2d, codes2d)
     return out.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("n", "W", "interpret"))
-def _take_f64(src, codes2d, n, W, interpret=False):
+def _take_f64(src, codes2d, ws, n, W, interpret=False):
     hi = src.astype(jnp.float32)
     lo = (src - hi.astype(jnp.float64)).astype(jnp.float32)
     t0 = _pad_table_2d(hi)
@@ -161,40 +174,48 @@ def _take_f64(src, codes2d, n, W, interpret=False):
     R = codes2d.shape[0]
     o0, o1 = pl.pallas_call(
         partial(_window_kernel_2plane, W=W),
-        grid=(R // BR,),
-        in_specs=[
-            pl.BlockSpec((C, LANE), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, LANE), lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANE), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((BR, LANE), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANE), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // BR,),
+            in_specs=[
+                pl.BlockSpec((C, LANE), lambda i, ws: (0, 0)),
+                pl.BlockSpec((C, LANE), lambda i, ws: (0, 0)),
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((R, LANE), jnp.float32),
             jax.ShapeDtypeStruct((R, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(t0, t1, codes2d)
+    )(ws, t0, t1, codes2d)
     out = o0.astype(jnp.float64) + o1.astype(jnp.float64)
     return out.reshape(-1)[:n]
 
 
-def monotone_take(src: jax.Array, plan: MonotonePlan, codes2d_dev, interpret=False):
+def monotone_take(src: jax.Array, plan: MonotonePlan, codes2d_dev, ws_dev, interpret=False):
     """``src[idx]`` for the sorted idx captured in ``plan``.
 
-    ``codes2d_dev`` is the device upload of ``plan.codes2d`` (cached by
-    the caller).  Returns (n,) in src's dtype.
+    ``codes2d_dev``/``ws_dev`` are device uploads of the plan layouts
+    (cached by the caller).  Returns (n,) in src's dtype.
     """
     if src.dtype == jnp.float64:
-        return _take_f64(src, codes2d_dev, plan.n, plan.window, interpret)
-    return _take_f32(src, codes2d_dev, plan.n, plan.window, interpret)
+        return _take_f64(src, codes2d_dev, ws_dev, plan.n, plan.window, interpret)
+    return _take_f32(src, codes2d_dev, ws_dev, plan.n, plan.window, interpret)
 
 
 def supported(dtype) -> bool:
+    import os
+
     from .._config import on_tpu
 
     if not on_tpu():
+        return False
+    # kill switch: fall back to the general-gather / XLA-take routes
+    if os.environ.get("TABMAT_TPU_NO_WINDOW_TAKE", "0") == "1":
         return False
     return jnp.dtype(dtype) in (jnp.float32, jnp.float64)

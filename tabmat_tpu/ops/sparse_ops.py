@@ -89,7 +89,7 @@ def csc_rmatvec_pg(
 
 
 def csr_matvec_window(
-    data, col_idx_or_cols2d, bcodes2d, v, nnz: int, n_rows: int, W: int,
+    data, col_idx_or_cols2d, bcodes2d, bws, v, nnz: int, n_rows: int, W: int,
     use_pg: bool,
 ):
     """CSR matvec with the boundary diff on the windowed monotone take.
@@ -100,7 +100,7 @@ def csr_matvec_window(
     them (reference walker: ``tabmat/ext/sparse.pyx:79-140``).
     """
     return _csr_matvec_window(
-        data, col_idx_or_cols2d, bcodes2d, v, nnz, n_rows, W, use_pg
+        data, col_idx_or_cols2d, bcodes2d, bws, v, nnz, n_rows, W, use_pg
     )
 
 
@@ -108,7 +108,7 @@ from functools import partial as _partial  # noqa: E402
 
 
 @_partial(jax.jit, static_argnames=("nnz", "n_rows", "W", "use_pg"))
-def _csr_matvec_window(data, col_ref, bcodes2d, v, nnz, n_rows, W, use_pg):
+def _csr_matvec_window(data, col_ref, bcodes2d, bws, v, nnz, n_rows, W, use_pg):
     from . import pallas_gather, pallas_window_take
 
     if use_pg:
@@ -119,13 +119,13 @@ def _csr_matvec_window(data, col_ref, bcodes2d, v, nnz, n_rows, W, use_pg):
     csum = jnp.cumsum(t)
     padded = jnp.concatenate([jnp.zeros((1,), dtype=csum.dtype), csum])
     if padded.dtype == jnp.float64:
-        b = pallas_window_take._take_f64(padded, bcodes2d, n_rows + 1, W)
+        b = pallas_window_take._take_f64(padded, bcodes2d, bws, n_rows + 1, W)
     else:
-        b = pallas_window_take._take_f32(padded, bcodes2d, n_rows + 1, W)
+        b = pallas_window_take._take_f32(padded, bcodes2d, bws, n_rows + 1, W)
     return b[1:] - b[:-1]
 
 
-def csr_tmv_window(data_csr, rcodes2d, col_codes_col, v, nnz: int, k: int, W: int):
+def csr_tmv_window(data_csr, rcodes2d, rws, col_codes_col, v, nnz: int, k: int, W: int):
     """CSR transpose-matvec: windowed ``v[row]`` gather + one-hot segsum.
 
     nnz walked in row-major order have MONOTONE row ids — the windowed
@@ -134,17 +134,17 @@ def csr_tmv_window(data_csr, rcodes2d, col_codes_col, v, nnz: int, k: int, W: in
     one-hot segment-sum (``pallas_segsum``), no scatter anywhere
     (reference walker: ``tabmat/ext/sparse.pyx:142-199``).
     """
-    return _csr_tmv_window(data_csr, rcodes2d, col_codes_col, v, nnz, k, W)
+    return _csr_tmv_window(data_csr, rcodes2d, rws, col_codes_col, v, nnz, k, W)
 
 
 @_partial(jax.jit, static_argnames=("nnz", "k", "W"))
-def _csr_tmv_window(data_csr, rcodes2d, col_codes_col, v, nnz, k, W):
+def _csr_tmv_window(data_csr, rcodes2d, rws, col_codes_col, v, nnz, k, W):
     from . import pallas_segsum, pallas_window_take
 
     if v.dtype == jnp.float64:
-        g = pallas_window_take._take_f64(v, rcodes2d, nnz, W)
+        g = pallas_window_take._take_f64(v, rcodes2d, rws, nnz, W)
     else:
-        g = pallas_window_take._take_f32(v, rcodes2d, nnz, W)
+        g = pallas_window_take._take_f32(v, rcodes2d, rws, nnz, W)
     vals = data_csr * g
     return pallas_segsum.segsum_auto(vals, col_codes_col, k)
 

@@ -120,6 +120,7 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
                     bplan = pallas_window_take.build_plan(bounds)
                     if bplan is not None:
                         arrays[f"xbcodes_{a}_{b}"] = jnp.asarray(bplan.codes2d)
+                        arrays[f"xbws_{a}_{b}"] = jnp.asarray(bplan.ws)
                         xwins += ((a, b, bplan.window),)
     return _Block(
         "catstack",
@@ -228,8 +229,8 @@ class DeviceDesign:
             arrs = {}
             for key, v in b.arrays.items():
                 if key == "codes2d" or key.startswith(
-                    ("ccol", "xccol", "xbcodes", "csr_bcodes", "csc_bcodes")
-                ):
+                    ("ccol", "xccol", "xbcodes", "xbws")
+                ) or key in ("csr_bcodes", "csr_bws", "csc_bcodes", "csc_bws"):
                     continue  # Pallas-only layouts: see docstring
                 if b.kind == "dense":
                     if key == "X":
@@ -353,9 +354,11 @@ class DeviceDesign:
                     wr = wc = None
                     if rplan is not None:
                         arrays["csr_bcodes"] = jnp.asarray(rplan.codes2d)
+                        arrays["csr_bws"] = jnp.asarray(rplan.ws)
                         wr = rplan.window
                     if cplan is not None:
                         arrays["csc_bcodes"] = jnp.asarray(cplan.codes2d)
+                        arrays["csc_bws"] = jnp.asarray(cplan.ws)
                         wc = cplan.window
                     meta = (wr, wc)
                 return _Block(
@@ -412,7 +415,10 @@ class DeviceDesign:
                 from ..ops import pallas_window_take as pwt
 
                 take = pwt._take_f64 if p.dtype == jnp.float64 else pwt._take_f32
-                b = take(p, a["csr_bcodes"], self.shape[0] + 1, block.meta[0])
+                b = take(
+                    p, a["csr_bcodes"], a["csr_bws"], self.shape[0] + 1,
+                    block.meta[0],
+                )
                 return b[1:] - b[:-1]
             return jnp.take(p, a["csr_bounds"][1:]) - jnp.take(p, a["csr_bounds"][:-1])
         if block.kind == "catstack":
@@ -455,7 +461,10 @@ class DeviceDesign:
                 from ..ops import pallas_window_take as pwt
 
                 take = pwt._take_f64 if p.dtype == jnp.float64 else pwt._take_f32
-                b = take(p, a["csc_bcodes"], block.width + 1, block.meta[1])
+                b = take(
+                    p, a["csc_bcodes"], a["csc_bws"], block.width + 1,
+                    block.meta[1],
+                )
                 return b[1:] - b[:-1]
             return jnp.take(p, a["csc_bounds"][1:]) - jnp.take(p, a["csc_bounds"][:-1])
         if block.kind == "catstack":
@@ -592,6 +601,7 @@ class DeviceDesign:
                             b.arrays[f"xbounds_{a}_{c}"],
                             b.arrays.get(f"xccol_{a}_{c}"),
                             b.arrays.get(f"xbcodes_{a}_{c}"),
+                            b.arrays.get(f"xbws_{a}_{c}"),
                             xwin_map.get((a, c)),
                         )
 
@@ -667,7 +677,7 @@ class DeviceDesign:
                         diag = seg_sum(perm_i, starts_i, ends_i, w)
                     row_parts.append(jnp.diag(diag))
                 elif (min(i, j), max(i, j)) in cross:
-                    xperm, xbounds, xccol, xbcodes, xwin = cross[
+                    xperm, xbounds, xccol, xbcodes, xbws, xwin = cross[
                         (min(i, j), max(i, j))
                     ]
                     if xccol is not None and w_seg_ok:
@@ -687,7 +697,7 @@ class DeviceDesign:
                             if p.dtype == jnp.float64
                             else pwt._take_f32
                         )
-                        bvals = take(p, xbcodes, wi * wj + 1, xwin)
+                        bvals = take(p, xbcodes, xbws, wi * wj + 1, xwin)
                         flat = bvals[1:] - bvals[:-1]
                     else:
                         flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)

@@ -52,7 +52,8 @@ def test_window_take_matches_numpy(dtype, n, src_len):
     src = _pair_representable(rng, src_len, dtype)
     got = np.asarray(
         wt.monotone_take(
-            jnp.asarray(src), plan, jnp.asarray(plan.codes2d), interpret=True
+            jnp.asarray(src), plan, jnp.asarray(plan.codes2d),
+            jnp.asarray(plan.ws), interpret=True,
         )
     )
     np.testing.assert_array_equal(got, src[idx])
@@ -68,7 +69,8 @@ def test_window_take_strictly_monotone_bounds():
     src = _pair_representable(rng, nnz + 1, np.float64)
     got = np.asarray(
         wt.monotone_take(
-            jnp.asarray(src), plan, jnp.asarray(plan.codes2d), interpret=True
+            jnp.asarray(src), plan, jnp.asarray(plan.codes2d),
+            jnp.asarray(plan.ws), interpret=True,
         )
     )
     np.testing.assert_array_equal(got, src[bounds])
@@ -91,6 +93,8 @@ def test_plan_pads_with_last_index():
     assert flat[plan.n - 1] == 299
     assert (flat[plan.n :] == 299).all()
     assert plan.window % 8 == 0 and plan.window >= 8
+    assert plan.ws.shape[0] == plan.codes2d.shape[0] // wt.BR
+    assert plan.ws[0] == (100 >> 7)
 
 
 def test_window_take_exact_f64_pair_values():
@@ -102,7 +106,8 @@ def test_window_take_exact_f64_pair_values():
     plan = wt.build_plan(idx)
     got = np.asarray(
         wt.monotone_take(
-            jnp.asarray(src), plan, jnp.asarray(plan.codes2d), interpret=True
+            jnp.asarray(src), plan, jnp.asarray(plan.codes2d),
+            jnp.asarray(plan.ws), interpret=True,
         )
     )
     np.testing.assert_array_equal(got, src[idx])
