@@ -74,6 +74,8 @@ def build_plan(idx: np.ndarray) -> "MonotonePlan | None":
         return None
     if np.any(np.diff(idx) < 0) or idx[0] < 0:
         return None
+    if int(idx[-1]) >= np.iinfo(np.int32).max:
+        return None  # >2^31 source entries: int32 code layout would wrap
     rows = -(-n // LANE)
     rows_pad = -(-rows // BR) * BR
     flat = np.full(rows_pad * LANE, int(idx[-1]), dtype=np.int32)
