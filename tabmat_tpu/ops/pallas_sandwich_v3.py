@@ -280,8 +280,15 @@ def build_plane_cache_packed(X: jax.Array) -> PackedPlaneCache:
 
 
 def _v3p_kernel(
-    xh_ref, xl_ref, dh_ref, dl_ref, ra_ref, o_ref, *, kp, n_planes, interpret
+    xh_ref, xl_ref, dh_ref, dl_ref, ra_ref, o_ref, *, kp, k, G, n_planes, interpret
 ):
+    """Packed sandwich kernel with COMPACT d.
+
+    ``dh_ref``/``dl_ref`` are (BT, G) group columns, not the (BT, G·k)
+    lane-expanded planes: the expansion cost 400 MB of HBM write at prep
+    plus the same again of kernel read at 1M×50 — rebuilding it in VMEM
+    is G·3 VPU ops per sub-tile (lane-group select), ~100× cheaper.
+    """
     i = pl.program_id(0)
     npk = n_planes * kp
     zeros = jnp.zeros((npk, npk), jnp.float32)
@@ -292,13 +299,26 @@ def _v3p_kernel(
         o_ref[1] = zeros
 
     ra = ra_ref[:]
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (SUB, kp), 1) // jnp.int32(k)
+    group_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, G), 1)
+
+    def expand_d(dsub):  # (SUB, G) → (SUB, G·k) lane-grouped
+        acc = jnp.zeros((SUB, kp), jnp.float32)
+        for g in range(G):
+            colg = jnp.sum(
+                dsub * (group_iota == g).astype(jnp.float32),
+                axis=1,
+                keepdims=True,
+            )
+            acc = jnp.where(lane_group == g, colg, acc)
+        return acc
 
     def body(j, carry):
         hi, lo = carry
         xh = xh_ref[pl.ds(j * SUB, SUB), :]
         xl = xl_ref[pl.ds(j * SUB, SUB), :]
-        dh = dh_ref[pl.ds(j * SUB, SUB), :]
-        dl = dl_ref[pl.ds(j * SUB, SUB), :]
+        dh = expand_d(dh_ref[pl.ds(j * SUB, SUB), :])
+        dl = expand_d(dl_ref[pl.ds(j * SUB, SUB), :])
         p1 = xh * dh
         if interpret:
             perr = (
@@ -334,22 +354,23 @@ def _v3p_kernel(
     o_ref[1] = o_ref[1] + lo + err
 
 
-@partial(jax.jit, static_argnames=("n_planes", "interpret"))
-def _v3p_parts(xsh, xsl, dh, dl, ra, n_planes, interpret=False):
+@partial(jax.jit, static_argnames=("k", "G", "n_planes", "interpret"))
+def _v3p_parts(xsh, xsl, dhc, dlc, ra, k, G, n_planes, interpret=False):
     n_pad, kp = xsh.shape
     kernel = partial(
-        _v3p_kernel, kp=kp, n_planes=n_planes, interpret=interpret
+        _v3p_kernel, kp=kp, k=k, G=G, n_planes=n_planes, interpret=interpret
     )
     npk = n_planes * kp
     spec = pl.BlockSpec((BT, kp), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((BT, G), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n_pad // BT,),
         in_specs=[
             spec,
             spec,
-            spec,
-            spec,
+            dspec,
+            dspec,
             pl.BlockSpec((1, kp), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -359,7 +380,7 @@ def _v3p_parts(xsh, xsl, dh, dl, ra, n_planes, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((2, npk, npk), jnp.float32),
         interpret=interpret,
-    )(xsh, xsl, dh, dl, ra)
+    )(xsh, xsl, dhc, dlc, ra)
 
 
 def sandwich_v3_packed(cache: PackedPlaneCache, d, interpret=False):
@@ -395,18 +416,9 @@ def _sandwich_v3_packed_jit(
 
     dshc = compact(dsh1)
     dslc = compact(dsl1)
-
-    def expand(vc):  # (n_pad2, G) → (n_pad2, G·k), lane-repeated per group
-        # broadcast+reshape (one relayout write) — jnp.repeat lowers to a
-        # gather and costs ~2× more on the 200 MB expanded planes
-        return jnp.broadcast_to(vc[:, :, None], (n_pad2, G, k)).reshape(
-            n_pad2, kp
-        )
-
-    dsh = expand(dshc)
-    dsl = expand(dslc)
     # per-packed-column max of |xs·ds| from the COMPACT d (reads xsh once;
-    # the expanded-operand form re-read 2× the bytes)
+    # the kernel rebuilds the lane expansion in VMEM — materializing the
+    # (n, G·k) planes cost ~800 MB of HBM write+read per call at 1M×50)
     m = jnp.max(
         jnp.abs(xsh).reshape(n_pad2, G, k) * jnp.abs(dshc)[:, :, None],
         axis=0,
@@ -416,7 +428,9 @@ def _sandwich_v3_packed_jit(
     )
     eA = jnp.clip(eA, -100.0, 100.0)
     ra = jnp.exp2(-eA).astype(jnp.float32).reshape(1, kp)
-    parts = _v3p_parts(xsh, xsl, dsh, dsl, ra, n_planes, interpret=interpret)
+    parts = _v3p_parts(
+        xsh, xsl, dshc, dslc, ra, k, G, n_planes, interpret=interpret
+    )
     tot = parts[0].astype(jnp.float64) + parts[1].astype(jnp.float64)
     tot = tot.reshape(n_planes, kp, n_planes, kp)
     pq = jnp.arange(n_planes, dtype=jnp.float64)
