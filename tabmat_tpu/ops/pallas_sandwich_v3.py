@@ -82,11 +82,20 @@ def _two_prod_err(a, b, p):
     return ((ah * bh - p) + ah * bl + al * bh) + al * bl
 
 
+LO_SKIP = 3  # leading vl planes identically zero, see _plane_slices_pair
+
+
 def _plane_slices_pair(vh, vl, n_planes):
     """T7-bit bf16 integer slices of the exact pair value vh + vl.
 
     Independent telescoping f32 rounds on each plane; corresponding
     slices add exactly in bf16 (|q| ≤ ~260 ≤ 512).
+
+    The lo component of every pair this kernel slices satisfies
+    ``|vl| ≤ 3·2⁻²⁴·scale`` (f32 split residuals and the Dekker product
+    tail, each ≤ 2⁻²⁴ of the ra-normalized max): its planes p < 3 round
+    to exactly zero (|vl|·2²¹ ≤ 3·2⁻³ < ½), so only R₄..R_np are
+    computed for it — ~25% of the kernel's VPU slicing work.
     """
 
     def rounds(x32):
@@ -99,9 +108,28 @@ def _plane_slices_pair(vh, vl, n_planes):
             for p in range(1, n_planes)
         ]
 
+    def rounds_lo(x32):
+        # R_p for p ≤ LO_SKIP are 0; q_{LO_SKIP} = R_{LO_SKIP+1}
+        R = {
+            p: jnp.round(x32 * jnp.float32(2.0 ** (p * T7)))
+            for p in range(LO_SKIP + 1, n_planes + 1)
+        }
+        out = [R[LO_SKIP + 1]]
+        out += [
+            R[p + 1] - jnp.float32(1 << T7) * R[p]
+            for p in range(LO_SKIP + 1, n_planes)
+        ]
+        return out
+
     qh = rounds(vh)
-    ql = rounds(vl)
-    return [(a + b).astype(jnp.bfloat16) for a, b in zip(qh, ql)]
+    if n_planes <= LO_SKIP:
+        return [a.astype(jnp.bfloat16) for a in qh]
+    ql = rounds_lo(vl)
+    out = [a.astype(jnp.bfloat16) for a in qh[:LO_SKIP]]
+    out += [
+        (a + b).astype(jnp.bfloat16) for a, b in zip(qh[LO_SKIP:], ql)
+    ]
+    return out
 
 
 def _v3_kernel(
