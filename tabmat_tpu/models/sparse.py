@@ -688,6 +688,15 @@ class SparseMatrix(MatrixBase):
                 res_full = ozaki.transpose_matvec_cached(
                     mirror[0], mirror[1], v_eff
                 )
+            elif vec.ndim == 1 and (
+                rows2d := self._pallas_rows2d(v_eff.dtype)
+            ) is not None:
+                # nnz-walk gather + boundary cumsum: the boundary takes
+                # are only (k+1,) — cheap even element-serial
+                data, row_idx, col_bounds = self._csc_parts()
+                res_full = sparse_ops.csc_rmatvec_pg(
+                    data, rows2d, col_bounds, v_eff
+                )
             elif vec.ndim == 1 and v_eff.dtype == jnp.float64 and (
                 wplan := self._wide_matvec_plan()
             ) is not None:
@@ -696,15 +705,9 @@ class SparseMatrix(MatrixBase):
                 res_full = sparse_wide.wide_transpose_matvec(wplan, v_eff)
             elif vec.ndim == 1:
                 data, row_idx, col_bounds = self._csc_parts()
-                rows2d = self._pallas_rows2d(v_eff.dtype)
-                if rows2d is not None:
-                    res_full = sparse_ops.csc_rmatvec_pg(
-                        data, rows2d, col_bounds, v_eff
-                    )
-                else:
-                    res_full = sparse_ops.csc_rmatvec(
-                        data, row_idx, col_bounds, v_eff
-                    )
+                res_full = sparse_ops.csc_rmatvec(
+                    data, row_idx, col_bounds, v_eff
+                )
             else:
                 data, row_idx, col_bounds = self._csc_parts()
                 res_full = sparse_ops.csc_rmatmat(data, row_idx, col_bounds, v_eff)
@@ -758,6 +761,15 @@ class SparseMatrix(MatrixBase):
                 from ..ops import ozaki
 
                 res = ozaki.matvec_cached_T(mirror[2], mirror[3], v_eff)
+            elif vec.ndim == 1 and (
+                cols2d := self._pallas_cols2d(v_eff.dtype)
+            ) is not None:
+                # nnz gather on the lane-shuffle kernel + boundary cumsum;
+                # preferred over the int8-plane wide path: the gather walk
+                # is ~C passes/tile and the (n+1,) boundary takes are the
+                # only element-serial part
+                data, col_idx, row_bounds = self._csr_parts()
+                res = sparse_ops.csr_matvec_pg(data, cols2d, row_bounds, v_eff)
             elif vec.ndim == 1 and v_eff.dtype == jnp.float64 and (
                 wplan := self._wide_matvec_plan()
             ) is not None:
@@ -766,11 +778,7 @@ class SparseMatrix(MatrixBase):
                 res = sparse_wide.wide_matvec(wplan, v_eff)
             elif vec.ndim == 1:
                 data, col_idx, row_bounds = self._csr_parts()
-                cols2d = self._pallas_cols2d(v_eff.dtype)
-                if cols2d is not None:
-                    res = sparse_ops.csr_matvec_pg(data, cols2d, row_bounds, v_eff)
-                else:
-                    res = sparse_ops.csr_matvec(data, col_idx, row_bounds, v_eff)
+                res = sparse_ops.csr_matvec(data, col_idx, row_bounds, v_eff)
             else:
                 data, col_idx, row_bounds = self._csr_parts()
                 res = sparse_ops.csr_matmat(data, col_idx, row_bounds, v_eff)
