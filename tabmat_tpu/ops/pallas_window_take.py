@@ -85,9 +85,12 @@ def build_plan(idx: np.ndarray) -> "MonotonePlan | None":
     tiles = hi.reshape(-1, BR * LANE)
     ws = tiles.min(axis=1).astype(np.int32)
     span = int((tiles.max(axis=1) - ws).max()) + 1
-    window = min(-(-span // 8) * 8 + 8, MAX_WINDOW_ROWS)
     if span > MAX_WINDOW_ROWS:
         return None
+    # quantize W so the jit key is stable across random-data realizations
+    # of the same design (span varies a little seed to seed; a fresh
+    # remote compile costs 30-200 s, ≤63 extra passes cost microseconds)
+    window = min(-(-(span + 8) // 64) * 64, MAX_WINDOW_ROWS)
     return MonotonePlan(codes2d, ws, window, n)
 
 
