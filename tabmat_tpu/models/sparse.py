@@ -304,7 +304,9 @@ class SparseMatrix(MatrixBase):
             return None
         if self._bounds_wplan is None:
             csr = self.array_csr
-            plan = pallas_window_take.build_plan(csr.indptr)
+            plan = pallas_window_take.build_plan(
+                csr.indptr, src_len=int(self._array.nnz) + 1
+            )
             if plan is None:
                 self._bounds_wplan = ()
             else:
@@ -335,7 +337,7 @@ class SparseMatrix(MatrixBase):
             row_ids = np.repeat(
                 np.arange(n, dtype=np.int32), np.diff(csr.indptr)
             )
-            plan = pallas_window_take.build_plan(row_ids)
+            plan = pallas_window_take.build_plan(row_ids, src_len=n)
             if plan is None:
                 self._rowid_wplan = ()
             else:

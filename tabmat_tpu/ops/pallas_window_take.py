@@ -44,6 +44,11 @@ BR = 256  # code rows per grid step (BR*LANE = 32768 codes)
 # beyond ~1/8 of the general kernel's 4096-row cap the advantage is gone
 MAX_WINDOW_ROWS = 1024
 
+# the kernel keeps the WHOLE source resident in VMEM ((C, 128) per f32
+# plane, two planes for f64): cap the source so the table stays ≤ ~9.4 MB
+# of the ~16 MB scoped budget (codes/output blocks need the rest)
+MAX_SRC_ENTRIES = 1_200_000
+
 
 class MonotonePlan:
     """Structural plan for a windowed take over a fixed sorted index array.
@@ -66,8 +71,13 @@ class MonotonePlan:
         self.n = n
 
 
-def build_plan(idx: np.ndarray) -> "MonotonePlan | None":
-    """Plan a windowed take for sorted ``idx`` (any integer dtype, ≥ 0)."""
+def build_plan(idx: np.ndarray, src_len: "int | None" = None) -> "MonotonePlan | None":
+    """Plan a windowed take for sorted ``idx`` (any integer dtype, ≥ 0).
+
+    ``src_len`` is the length of the source the take will read (defaults
+    to ``idx[-1] + 1``); plans over sources past :data:`MAX_SRC_ENTRIES`
+    are rejected — the kernel holds the whole source in VMEM.
+    """
     idx = np.asarray(idx)
     n = idx.shape[0]
     if n == 0:
@@ -76,6 +86,8 @@ def build_plan(idx: np.ndarray) -> "MonotonePlan | None":
         return None
     if int(idx[-1]) >= np.iinfo(np.int32).max:
         return None  # >2^31 source entries: int32 code layout would wrap
+    if (src_len if src_len is not None else int(idx[-1]) + 1) > MAX_SRC_ENTRIES:
+        return None
     rows = -(-n // LANE)
     rows_pad = -(-rows // BR) * BR
     flat = np.full(rows_pad * LANE, int(idx[-1]), dtype=np.int32)

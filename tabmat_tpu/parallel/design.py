@@ -117,7 +117,9 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
                     # dominant cost of the cumsum fallback — plan a
                     # windowed monotone take for them (TPU only: the take
                     # is a Pallas kernel, CPU/dryrun keep the XLA path)
-                    bplan = pallas_window_take.build_plan(bounds)
+                    bplan = pallas_window_take.build_plan(
+                        bounds, src_len=len(combined) + 1
+                    )
                     if bplan is not None:
                         arrays[f"xbcodes_{a}_{b}"] = jnp.asarray(bplan.codes2d)
                         arrays[f"xbws_{a}_{b}"] = jnp.asarray(bplan.ws)
@@ -349,8 +351,13 @@ class DeviceDesign:
                     # windowed monotone takes for the indptr boundary
                     # diffs (the element-serial XLA takes dominate at
                     # benchmark scales); TPU-gated — dryrun keeps XLA
-                    rplan = pwt.build_plan(np.asarray(m.array_csr.indptr))
-                    cplan = pwt.build_plan(np.asarray(m._array.indptr))
+                    nnz1 = int(m._array.nnz) + 1
+                    rplan = pwt.build_plan(
+                        np.asarray(m.array_csr.indptr), src_len=nnz1
+                    )
+                    cplan = pwt.build_plan(
+                        np.asarray(m._array.indptr), src_len=nnz1
+                    )
                     wr = wc = None
                     if rplan is not None:
                         arrays["csr_bcodes"] = jnp.asarray(rplan.codes2d)
