@@ -173,8 +173,10 @@ def from_df(
             col = col.cast(nw.Categorical)
 
         # narwhals reports pandas SparseDtype as plain numeric-ish; catch it
-        # before the dtype switch so the data never densifies
-        if pd is not None and isinstance(nw.to_native(col).dtype, pd.SparseDtype):
+        # before the dtype switch so the data never densifies (non-pandas
+        # natives — pyarrow ChunkedArray etc. — carry no .dtype at all)
+        native_dtype = getattr(nw.to_native(col), "dtype", None)
+        if pd is not None and isinstance(native_dtype, pd.SparseDtype):
             sparse_route.append((df_pos, cursor))
             cursor += 1
             continue
