@@ -87,7 +87,9 @@ class _CatSlot:
 def _is_stringy(col) -> bool:
     if isinstance(col.dtype, (nw.String, nw.Object)):
         return True
-    if pd is not None and isinstance(nw.to_native(col).dtype, pd.StringDtype):
+    if pd is not None and isinstance(
+        getattr(nw.to_native(col), "dtype", None), pd.StringDtype
+    ):
         return True
     return False
 

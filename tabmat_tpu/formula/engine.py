@@ -397,7 +397,15 @@ class _Evaluator:
     @staticmethod
     def _to_numpy_or_series(col):
         native = nw.to_native(col) if nw is not None else col
-        return native
+        if pd is None or isinstance(native, pd.Series):
+            return native
+        # non-pandas natives (pyarrow ChunkedArray, polars Series) don't
+        # support python arithmetic in {expr} transforms — hand eval a
+        # pandas Series for categoricals (keeps C()/level semantics) and
+        # a plain numpy array otherwise
+        if isinstance(col.dtype, (nw.Categorical, nw.Enum)):
+            return col.to_pandas()
+        return col.to_numpy()
 
     @staticmethod
     def _is_categorical_like(values) -> bool:

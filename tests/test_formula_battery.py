@@ -35,11 +35,24 @@ try:
 except ImportError:
     HAS_POLARS = False
 
+try:
+    import pyarrow as pa
+
+    HAS_PYARROW = True
+except ImportError:
+    HAS_PYARROW = False
+
 INPUTS = [
     "pandas",
     pytest.param(
         "polars",
         marks=pytest.mark.skipif(not HAS_POLARS, reason="polars not installed"),
+    ),
+    pytest.param(
+        "pyarrow",
+        marks=pytest.mark.skipif(
+            not HAS_PYARROW, reason="pyarrow not installed"
+        ),
     ),
 ]
 
@@ -57,6 +70,9 @@ def _make_df(input):
     )
     if input == "polars":
         return pl.DataFrame(df)
+    if input == "pyarrow":
+        # categoricals survive as Arrow dictionary columns
+        return pa.Table.from_pandas(df, preserve_index=False)
     return df
 
 
