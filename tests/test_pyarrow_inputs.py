@@ -68,3 +68,17 @@ def test_categorical_matrix_pyarrow_and_list(columns):
             str(x) for x in ref.categories
         ]
         np.testing.assert_array_equal(cm.toarray(), ref.toarray())
+
+
+def test_pyarrow_null_categories_methods():
+    c = ["a", "b", None, "a", None, "c"]
+    x = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    tbl = pa.table({"x": x, "c": pa.array(c).dictionary_encode()})
+    pdf = pd.DataFrame({"x": x, "c": pd.Categorical(c)})
+    for method in ("zero", "convert"):
+        X = tm.from_df(tbl, cat_missing_method=method)
+        ref = tm.from_df(pdf, cat_missing_method=method)
+        assert X.column_names == ref.column_names
+        np.testing.assert_array_equal(X.toarray(), ref.toarray())
+    with pytest.raises(ValueError, match="missing"):
+        tm.from_df(tbl, cat_missing_method="fail")
