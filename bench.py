@@ -40,9 +40,82 @@ HK1 = 3  # host chain length (min-of-averages)
 
 _T0 = time.time()
 
+# Deadman watchdog: if no op completes for this long (wedged runtime, a
+# crashed kernel, a relay outage), emit whatever was measured so far as a
+# partial record and exit — a partial record beats a silent hang at the
+# driver's round-end run.  Generous: cold remote compiles run 30-200 s
+# per program and the mixed IRLS step compiles several.
+_DEADMAN_S = float(os.environ.get("TABMAT_TPU_BENCH_DEADMAN", "1500"))
+_LAST_BEAT = [time.time()]
+_PARTIAL = {"results": {}, "dense_relerr": None}
+
+
+def _emit(results, *, floor_ms, dense_relerr, partial=False):
+    payload = {
+        "metric": "glm_core_ops_geomean_marginal (dense 1Mx50 fp64, "
+        "cat 1Mx10k, sparse 400kx100; sandwich+matvec+tmv+irls_step; "
+        "chained marginal cost, see bench.py docstring)",
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+        "detail": {
+            name: {
+                "tabmat_tpu_ms": round(o * 1e3, 4),
+                "cpu_baseline_ms": round(b * 1e3, 4),
+            }
+            for name, (o, b) in results.items()
+        },
+        "sync_floor_ms": round(floor_ms, 2) if floor_ms is not None else None,
+        "dense_sandwich_f64_relerr": dense_relerr,
+    }
+    if results:
+        ours = np.maximum([v[0] for v in results.values()], 5e-5)
+        base = np.maximum([v[1] for v in results.values()], 5e-5)
+        payload["value"] = round(float(np.exp(np.mean(np.log(ours))) * 1e3), 4)
+        payload["vs_baseline"] = round(
+            float(np.exp(np.mean(np.log(base / ours)))), 4
+        )
+    if partial:
+        payload["partial"] = True
+        payload["partial_reason"] = (
+            f"no progress for {_DEADMAN_S:.0f}s — runtime wedged or kernel "
+            f"crash; geomean covers only the ops measured before the stall"
+        )
+    else:
+        import jax
+
+        payload["device"] = str(jax.devices()[0])
+    print(json.dumps(payload), flush=True)
+
+
+def _start_deadman():
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(30)
+            if time.time() - _LAST_BEAT[0] > _DEADMAN_S:
+                _note(f"DEADMAN fired after {_DEADMAN_S:.0f}s of no progress")
+                _emit(
+                    _PARTIAL["results"],
+                    floor_ms=None,
+                    dense_relerr=_PARTIAL["dense_relerr"],
+                    partial=True,
+                )
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(2)
+
+    if _DEADMAN_S > 0:
+        threading.Thread(target=watch, daemon=True).start()
+
 
 def _note(msg):
-    """Progress marker on stderr (the driver reads only the stdout JSON)."""
+    """Progress marker on stderr (the driver reads only the stdout JSON).
+
+    Every call is also a deadman heartbeat: ops call it on completion.
+    """
+    _LAST_BEAT[0] = time.time()
     print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
@@ -119,6 +192,8 @@ def main():
 
     rng = np.random.default_rng(0)
     results = {}  # name -> (ours_sec, baseline_sec)
+    _PARTIAL["results"] = results  # the deadman emits these on a stall
+    _start_deadman()
     _note("start")
 
     def dev(a):
@@ -167,6 +242,7 @@ def main():
     S = np.asarray(dm.sandwich(d0))
     S_ref = (X_np * d0_np[:, None]).T @ X_np
     dense_relerr = float(np.abs(S - S_ref).max() / np.abs(S_ref).max())
+    _PARTIAL["dense_relerr"] = dense_relerr
 
     # ---------------- categorical 1M x 10k ----------------
     ncat = max(int(10_000 * SCALE), 16)
@@ -341,33 +417,9 @@ def main():
     _note("glm_irls_step_mixed done: %s" % (results["glm_irls_step_mixed"],))
 
     floor_ms = _sync_floor_ms()
-    # relay jitter can push a differenced marginal slightly negative for
-    # sub-ms ops; clamp so the geomean stays defined (floor = 50 µs)
-    ours = np.maximum([v[0] for v in results.values()], 5e-5)
-    base = np.maximum([v[1] for v in results.values()], 5e-5)
-    geo_ms = float(np.exp(np.mean(np.log(ours))) * 1e3)
-    speedup = float(np.exp(np.mean(np.log(base / ours))))
-
-    detail = {
-        name: {"tabmat_tpu_ms": round(o * 1e3, 4), "cpu_baseline_ms": round(b * 1e3, 4)}
-        for name, (o, b) in results.items()
-    }
-    print(
-        json.dumps(
-            {
-                "metric": "glm_core_ops_geomean_marginal (dense 1Mx50 fp64, "
-                "cat 1Mx10k, sparse 400kx100; sandwich+matvec+tmv+irls_step; "
-                "chained marginal cost, see bench.py docstring)",
-                "value": round(geo_ms, 4),
-                "unit": "ms",
-                "vs_baseline": round(speedup, 4),
-                "detail": detail,
-                "sync_floor_ms": round(floor_ms, 2),
-                "dense_sandwich_f64_relerr": dense_relerr,
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    # (_emit clamps sub-ms marginals at 50 µs: relay jitter can push a
+    # differenced marginal slightly negative; geomean must stay defined)
+    _emit(results, floor_ms=floor_ms, dense_relerr=dense_relerr)
 
 
 if __name__ == "__main__":
