@@ -21,6 +21,10 @@ import jax.numpy as jnp
 @jax.jit
 def take_matvec(eff_codes: jax.Array, v: jax.Array) -> jax.Array:
     """``out[i] = v[eff_codes[i]]`` with negative codes contributing zero."""
+    if v.shape[0] == 0:
+        # zero-column matrix (drop_first with a single level): every code
+        # is masked, so the matvec is identically zero
+        return jnp.zeros(eff_codes.shape, dtype=v.dtype)
     valid = eff_codes >= 0
     gathered = jnp.take(v, jnp.clip(eff_codes, 0, v.shape[0] - 1))
     return jnp.where(valid, gathered, jnp.zeros((), dtype=gathered.dtype))
