@@ -222,6 +222,9 @@ class FactorState:
     # bs: full knot vector (with boundary repeats) + degree from training
     bs_knots: Optional[np.ndarray] = None
     bs_degree: Optional[int] = None
+    # center/scale: training location and spread
+    loc: Optional[float] = None
+    spread: Optional[float] = None
     # categorical: contrast coding requested via C(x, contr.*)
     contrasts: Optional[object] = None
 
@@ -447,6 +450,40 @@ class _Evaluator:
                 expr, values, levels, spans_intercept, cat_missing_method,
                 cat_missing_name, contrasts=contrasts,
             )
+
+        if (
+            expr.startswith("center(") or expr.startswith("scale(")
+        ) and expr.endswith(")"):
+            # stateful location/spread transforms (formulaic's center/scale:
+            # training statistics are remembered and reused out-of-sample).
+            # scale(x, center=True, ddof=1): (x − mean) / std.
+            fname = "center" if expr.startswith("center(") else "scale"
+            data_expr, args, kwargs = _split_call(expr, fname)
+            col = self._column(data_expr)
+            if col is not None:
+                x = np.asarray(col.to_numpy(), dtype=np.float64)
+            else:
+                x = np.asarray(self._eval_python(data_expr), dtype=np.float64)
+            prior = self.state.get(expr) if self.use_state else None
+            if prior is not None:
+                loc, spread = prior.loc, prior.spread
+            else:
+                do_center = kwargs.get("center", "True") not in (
+                    "False", "false", "0",
+                )
+                loc = float(np.nanmean(x)) if do_center else 0.0
+                spread = 1.0
+                if fname == "scale":
+                    ddof = int(kwargs.get("ddof", 1))
+                    n_eff = max(np.sum(~np.isnan(x)) - ddof, 1)
+                    spread = float(
+                        np.sqrt(np.nansum((x - np.nanmean(x)) ** 2) / n_eff)
+                    ) or 1.0
+                if not self.use_state:
+                    self.state[expr] = FactorState(
+                        kind=fname, loc=loc, spread=spread
+                    )
+            return NumericSlot(values=(x - loc) / spread, name=expr)
 
         if (expr.startswith("poly(") or expr.startswith("bs(")) and expr.endswith(")"):
             fname = "poly" if expr.startswith("poly(") else "bs"

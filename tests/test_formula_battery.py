@@ -923,3 +923,43 @@ def test_basis_categorical_interaction():
     # full product with full-rank reduction under an explicit intercept
     X3 = tm.from_formula("1 + poly(x, 2, raw=True)*c", df, ensure_full_rank=True)
     assert X3.shape[1] == 1 + 2 + 2 + 4  # intercept + poly + c-reduced + inter
+
+
+@pytest.mark.parametrize("input", INPUTS)
+def test_center_scale_transforms(input):
+    # stateful location/spread transforms (formulaic's center/scale)
+    df = _make_df(input)
+    X = tm.from_formula("center(num_1) + scale(num_1) + scale(num_1, ddof=0)", df)
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    A = X.toarray()
+    np.testing.assert_allclose(A[:, 0], x - x.mean(), atol=1e-12)
+    np.testing.assert_allclose(A[:, 1], (x - x.mean()) / x.std(ddof=1), atol=1e-12)
+    np.testing.assert_allclose(A[:, 2], (x - x.mean()) / x.std(ddof=0), atol=1e-12)
+    assert X.column_names == [
+        "center(num_1)", "scale(num_1)", "scale(num_1, ddof=0)",
+    ]
+
+
+def test_center_scale_stateful_rematerialization():
+    df = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    X = tm.from_formula("center(x) + scale(x)", df)
+    x = df["x"].to_numpy()
+    new = pd.DataFrame({"x": [10.0, -4.0]})
+    A2 = X.model_spec.get_model_matrix(new).toarray()
+    x2 = new["x"].to_numpy()
+    # training statistics must be reused, not recomputed
+    np.testing.assert_allclose(A2[:, 0], x2 - x.mean(), atol=1e-12)
+    np.testing.assert_allclose(A2[:, 1], (x2 - x.mean()) / x.std(ddof=1), atol=1e-12)
+
+
+def test_center_interaction_and_expr():
+    df = pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, 4.0],
+        "c": pd.Categorical(["a", "b", "a", "b"]),
+    })
+    X = tm.from_formula("center(x):c", df)
+    x = df["x"].to_numpy()
+    cx = x - x.mean()
+    A = X.toarray()
+    np.testing.assert_allclose(A[:, 0], cx * (df["c"] == "a"), atol=1e-12)
+    np.testing.assert_allclose(A[:, 1], cx * (df["c"] == "b"), atol=1e-12)
