@@ -166,10 +166,10 @@ def _take_f32(src, codes2d, ws, n, W, interpret=False):
             num_scalar_prefetch=1,
             grid=(R // BR,),
             in_specs=[
-                pl.BlockSpec((C, LANE), lambda i, ws: (0, 0)),
-                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+                pl.BlockSpec((C, LANE), lambda i, ws: (jnp.int32(0), jnp.int32(0))),
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, jnp.int32(0))),
             ],
-            out_specs=pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+            out_specs=pl.BlockSpec((BR, LANE), lambda i, ws: (i, jnp.int32(0))),
         ),
         out_shape=jax.ShapeDtypeStruct((R, LANE), src.dtype),
         interpret=interpret,
@@ -195,13 +195,13 @@ def _take_f64(src, codes2d, ws, n, W, interpret=False):
             num_scalar_prefetch=1,
             grid=(R // BR,),
             in_specs=[
-                pl.BlockSpec((C, LANE), lambda i, ws: (0, 0)),
-                pl.BlockSpec((C, LANE), lambda i, ws: (0, 0)),
-                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+                pl.BlockSpec((C, LANE), lambda i, ws: (jnp.int32(0), jnp.int32(0))),
+                pl.BlockSpec((C, LANE), lambda i, ws: (jnp.int32(0), jnp.int32(0))),
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, jnp.int32(0))),
             ],
             out_specs=[
-                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
-                pl.BlockSpec((BR, LANE), lambda i, ws: (i, 0)),
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, jnp.int32(0))),
+                pl.BlockSpec((BR, LANE), lambda i, ws: (i, jnp.int32(0))),
             ],
         ),
         out_shape=[
