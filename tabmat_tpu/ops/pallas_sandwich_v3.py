@@ -146,13 +146,10 @@ def _v3_kernel(
         o_ref[0] = zeros
         o_ref[1] = zeros
 
-    # d arrives PRE-transposed (SUB, NSUB): column j is sub-tile j's d.
-    # (An in-kernel one-hot-dot transpose runs the MXU at default
-    # precision — f32 inputs are cast to bf16, mangling d to 8 mantissa
-    # bits.  The host-side transpose is an exact relayout copy.)
-    dch_all = dh_ref[:]
-    dcl_all = dl_ref[:]
-    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, NSUB), 1)
+    # d arrives as an (n_pad, 1) column: sub-tile j's values are rows
+    # [j·SUB, (j+1)·SUB) of the block, sliced exactly like the x planes.
+    # (A (SUB, NSUB) pre-transposed layout fails Mosaic lowering: its
+    # NSUB-lane blocks are neither 128-divisible nor the full array.)
     ra = ra_ref[:]  # (1, k) → broadcasts over (SUB, k)
 
     def body(j, carry):
@@ -160,11 +157,8 @@ def _v3_kernel(
         # sub-tile rows via a dynamic sublane-aligned ref slice
         xh = xh_ref[pl.ds(j * SUB, SUB), :]
         xl = xl_ref[pl.ds(j * SUB, SUB), :]
-        # this sub-tile's d column: masked lane-reduction (value-level
-        # dynamic_slice is not lowered by Mosaic)
-        sel = (iota_lane == j).astype(jnp.float32)
-        dch = jnp.sum(dch_all * sel, axis=1, keepdims=True)  # (SUB, 1)
-        dcl = jnp.sum(dcl_all * sel, axis=1, keepdims=True)
+        dch = dh_ref[pl.ds(j * SUB, SUB), :]  # (SUB, 1)
+        dcl = dl_ref[pl.ds(j * SUB, SUB), :]
         # exact f32-pair product y = xs·ds (then an exact power-of-two
         # column scale): |yl| ≲ 2^-23·|yh| + cross terms ≤ 2^-46
         p1 = xh * dch
@@ -221,10 +215,10 @@ def _v3_parts(xsh, xsl, dh2, dl2, ra, n_planes, interpret=False):
             pl.BlockSpec((BT, k), lambda i: (i, i * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, k), lambda i: (i, i * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (SUB, NSUB), lambda i: (i * 0, i), memory_space=pltpu.VMEM
+                (BT, 1), lambda i: (i, i * 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (SUB, NSUB), lambda i: (i * 0, i), memory_space=pltpu.VMEM
+                (BT, 1), lambda i: (i, i * 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, k), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
         ],
@@ -504,13 +498,11 @@ def sandwich_v3(xsh, xsl, exps, d, n_planes=NP64, interpret=False):
     )
     eA = jnp.clip(eA, -100.0, 100.0)
     ra = jnp.exp2(-eA).astype(jnp.float32).reshape(1, k)
-    # pre-transpose d so column j of a (SUB, NSUB) block is sub-tile j's
-    # values — an exact relayout on device, no in-kernel transpose needed
     parts = _v3_parts(
         xsh,
         xsl,
-        dsh.reshape(-1, SUB).T,
-        dsl.reshape(-1, SUB).T,
+        dsh[:, None],
+        dsl[:, None],
         ra,
         n_planes,
         interpret=interpret,
