@@ -565,8 +565,14 @@ class _Evaluator:
                 miss = s.isna().to_numpy()
                 live_vals = raw_arr[~miss]
                 live_keys = list(lookup)
-                cat = pd.Categorical(live_vals, categories=live_keys)
-                sub = cat.codes.astype(np.int64)
+                # positional match via get_indexer (-1 for unseen values);
+                # pandas 4 deprecates Categorical(values, categories=...)
+                # with out-of-dtype entries, so avoid that constructor
+                sub = (
+                    pd.Index(live_keys)
+                    .get_indexer(pd.Index(live_vals))
+                    .astype(np.int64)
+                )
                 # remap positional codes to the lookup's code values
                 # (identical when lookup is dense 0..K-1, which it is)
                 order = np.asarray([lookup[c] for c in live_keys], np.int64)
