@@ -1,0 +1,367 @@
+"""Anti-diagonal int8 dense sandwich: X.T @ diag(d) @ X at the int8 MXU rate.
+
+Successor of the v3 one-pass kernel (``pallas_sandwich_v3.py``).  Probing
+v3 on hardware showed its cost is NOT the VPU slice extraction (~2.4 ms
+of 19 ms at 1M×50) but (a) the single wide bf16 dot, whose (128, np·k)
+operands pay a lane-misaligned concatenation relayout and whose
+(np·k, np·k) output leaves the MXU at ~30% utilization, and (b) the
+per-sub-tile compensated TwoSum accumulation over the (np·k)² f32 pair
+(~6 VPU passes over 490k lanes every 128 rows).
+
+v4 removes all three costs with one structural observation: the Ozaki
+plane weights depend only on the anti-diagonal ``s = p + q``, so the 64
+slice-pair products never need to be kept apart — only their 9
+anti-diagonal sums do.  Stacking the A-side planes ascending and the
+B-side planes descending along the CONTRACTION (sublane) axis makes
+each anti-diagonal sum a single dot over a contiguous window:
+
+    C_s = Σ_{p+q=s} Qa_pᵀ Qb_q
+        = Astack[p0·B : (p0+cnt)·B]ᵀ · Bstack[q0·B : (q0+cnt)·B]
+
+with ``Astack[p·B:(p+1)·B] = Qa_p`` and ``Bstack[(NP-1-q)·B:…] = Qb_q``.
+
+Per B-row grid step the kernel therefore issues 2·NP−1 = 9 int8 MXU
+dots with long contractions (up to 8·B rows) and ONE output-stationary
+(kpad, kpad) int32 tile each — no lane concat, no output tiling walk —
+and accumulation is a plain int32 add.  T6 slices keep the pair-combined
+slice magnitude ≤ 65 (= 2^5+½ per component), so products are ≤ 4225
+and the int32 accumulators hold ≳ 2^18.9 rows exactly; they flush into
+compensated f32 pairs every FLUSH_EVERY grid steps (exact: the int32
+splits as hi·2^12 + lo with both halves f32-exact).
+
+Numerics match v3: both operands are column-scaled f32 pairs
+(hi + lo = X·2^-e exactly), the d-side product uses a Dekker two-product
+(no FMA on the VPU), 8 T6 planes cover 48 bits per side, and every
+arithmetic step until the final f64 combine is error-free.  Measured
+end-to-end relerr ~3e-15 at 1e8 dynamic range (same as v3).
+
+Counterpart of the reference's fused dense sandwich
+(``tabmat/ext/dense_helpers-tmpl.cpp:41-143``), which reads X once per
+call through the L2-tiled k-loop.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T6 = 6  # slice bits: pair-combined slice magnitude ≤ 2^5 + 1 ≤ 65 (int8)
+NP = 8  # planes per side: 48-bit coverage of the f32-pair operand
+LO_SKIP = 3  # |lo| ≤ 3·2^-24 ⇒ its planes p < 3 round to exactly 0
+SUB = 1024  # rows per grid step (int8 sublane tile is 32)
+LANE = 128
+MAX_KP = 128  # one lane tile per plane this version; k ≤ 128 after packing
+_SPLIT_C = 4097.0  # Veltkamp split constant for f32 (2^12 + 1)
+
+# worst-case |slice| ≤ 65 ⇒ products ≤ 4225; int32 holds 2^31/4225 rows
+# exactly; with the widest anti-diagonal summing NP windows per step the
+# flush period is 2^31 / (4225 · NP · SUB) ≈ 62 grid steps.
+FLUSH_EVERY = 32
+
+
+class PlaneCacheV4(NamedTuple):
+    """Column-scaled f32 planes of packed X, lane-padded to MAX_KP."""
+
+    xsh: jax.Array  # (n_pad, kpad) f32, |xsh| ≤ 1, zero pad rows/lanes
+    xsl: jax.Array  # (n_pad, kpad) f32, xsh + xsl = Xp · exps⁻¹ exactly
+    exps: jax.Array  # (kpad,) f64 per-column powers of two (1 in pads)
+    n: int  # original row count
+    k: int  # original column count
+    G: int  # row-groups packed per padded row
+
+
+def _two_prod_err(a, b, p):
+    """Exact residual of the f32 product: a·b = p + err (Dekker, no FMA)."""
+    t = _SPLIT_C * a
+    ah = t - (t - a)
+    al = a - ah
+    t = _SPLIT_C * b
+    bh = t - (t - b)
+    bl = b - bh
+    return ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _plane_slices_pair(vh, vl, interpret):
+    """T6-bit int8 slices of the exact pair value vh + vl (NP planes).
+
+    Telescoping f32 rounds on each component; corresponding slices add
+    exactly (|q_hi| + |q_lo| ≤ 65 ≪ f32/int8 exact range).  The lo
+    component's first LO_SKIP planes are identically zero and skipped.
+    """
+
+    def rounds(x32):
+        R = [
+            jnp.round(x32 * jnp.float32(2.0 ** (p * T6)))
+            for p in range(NP + 1)
+        ]
+        return [R[1]] + [
+            R[p + 1] - jnp.float32(1 << T6) * R[p] for p in range(1, NP)
+        ]
+
+    def rounds_lo(x32):
+        R = {
+            p: jnp.round(x32 * jnp.float32(2.0 ** (p * T6)))
+            for p in range(LO_SKIP + 1, NP + 1)
+        }
+        out = [R[LO_SKIP + 1]]
+        out += [
+            R[p + 1] - jnp.float32(1 << T6) * R[p]
+            for p in range(LO_SKIP + 1, NP)
+        ]
+        return out
+
+    qh = rounds(vh)
+    ql = rounds_lo(vl)
+    out = [a for a in qh[:LO_SKIP]]
+    out += [a + b for a, b in zip(qh[LO_SKIP:], ql)]
+    return [a.astype(jnp.int8) for a in out]
+
+
+def _v4_kernel(
+    xh_ref,
+    xl_ref,
+    dh_ref,
+    dl_ref,
+    ra_ref,
+    o_ref,
+    astk_ref,
+    bstk_ref,
+    acc_ref,
+    *,
+    kpad,
+    k,
+    G,
+    n_steps,
+    interpret,
+):
+    t = pl.program_id(0)
+    nd = 2 * NP - 1  # anti-diagonals
+    zpair = jnp.zeros((kpad, kpad), jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        for s in range(nd):
+            o_ref[s] = zpair
+            o_ref[nd + s] = zpair
+
+    ra = ra_ref[:]  # (1, kpad)
+    xh = xh_ref[:]
+    xl = xl_ref[:]
+
+    # rebuild the lane-expanded d from the compact (SUB, G) group columns
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (SUB, kpad), 1) // jnp.int32(k)
+    group_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, G), 1)
+
+    def expand_d(dsub):
+        acc = jnp.zeros((SUB, kpad), jnp.float32)
+        for g in range(G):
+            colg = jnp.sum(
+                dsub * (group_iota == g).astype(jnp.float32),
+                axis=1,
+                keepdims=True,
+            )
+            acc = jnp.where(lane_group == g, colg, acc)
+        return acc
+
+    dh = expand_d(dh_ref[:])
+    dl = expand_d(dl_ref[:])
+
+    # exact f32-pair product y = xs·ds, then the exact column scale
+    p1 = xh * dh
+    if interpret:
+        perr = (
+            xh.astype(jnp.float64) * dh.astype(jnp.float64)
+            - p1.astype(jnp.float64)
+        ).astype(jnp.float32)
+    else:
+        perr = _two_prod_err(xh, dh, p1)
+    tail = perr + xh * dl + xl * dh + xl * dl
+    yh = p1 * ra
+    yl = tail * ra
+
+    qa = _plane_slices_pair(yh, yl, interpret)
+    qb = _plane_slices_pair(xh, xl, interpret)
+
+    # A ascending, B descending along sublanes: anti-diagonal s is then
+    # one contiguous-window dot (see module docstring)
+    for p in range(NP):
+        astk_ref[pl.ds(p * SUB, SUB), :] = qa[p]
+        bstk_ref[pl.ds((NP - 1 - p) * SUB, SUB), :] = qb[p]
+
+    for s in range(nd):
+        p0 = max(0, s - (NP - 1))
+        cnt = min(s, NP - 1) - p0 + 1
+        q0hi = NP - 1 - (s - p0)  # stack row-block of B's first window
+        part = jax.lax.dot_general(
+            astk_ref[pl.ds(p0 * SUB, cnt * SUB), :],
+            bstk_ref[pl.ds(q0hi * SUB, cnt * SUB), :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[s] = acc_ref[s] + part
+
+    # exact flush of the int32 accumulators into compensated f32 pairs
+    # int32-pinned modulo: python-int promotion leaks an i64 convert that
+    # recurses in Mosaic's convert lowering under x64
+    t32 = t.astype(jnp.int32)
+    is_flush = (t32 + jnp.int32(1)) % jnp.int32(FLUSH_EVERY) == jnp.int32(0)
+
+    @pl.when(jnp.logical_or(is_flush, t32 == jnp.int32(n_steps - 1)))
+    def _():
+        for s in range(nd):
+            acc = acc_ref[s]
+            high = jax.lax.shift_right_arithmetic(acc, jnp.int32(12))
+            low = acc - jax.lax.shift_left(high, jnp.int32(12))
+            th = high.astype(jnp.float32) * jnp.float32(4096.0)
+            tl = low.astype(jnp.float32)
+            hi0 = o_ref[s]
+            lo0 = o_ref[nd + s]
+            # two error-free TwoSum steps into the (hi, lo) running pair
+            s1 = hi0 + th
+            bb = s1 - hi0
+            lo0 = lo0 + ((hi0 - (s1 - bb)) + (th - bb))
+            s2 = s1 + tl
+            bb = s2 - s1
+            lo0 = lo0 + ((s1 - (s2 - bb)) + (tl - bb))
+            o_ref[s] = s2
+            o_ref[nd + s] = lo0
+            acc_ref[s] = jnp.zeros_like(acc)
+
+
+@partial(jax.jit, static_argnames=("k", "G", "interpret"))
+def _v4_parts(xsh, xsl, dhc, dlc, ra, k, G, interpret=False):
+    n_pad, kpad = xsh.shape
+    n_steps = n_pad // SUB
+    nd = 2 * NP - 1
+    kernel = partial(
+        _v4_kernel,
+        kpad=kpad,
+        k=k,
+        G=G,
+        n_steps=n_steps,
+        interpret=interpret,
+    )
+    spec = pl.BlockSpec((SUB, kpad), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((SUB, G), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            spec,
+            spec,
+            dspec,
+            dspec,
+            pl.BlockSpec((1, kpad), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * nd, kpad, kpad),
+            lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * nd, kpad, kpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NP * SUB, kpad), jnp.int8),
+            pltpu.VMEM((NP * SUB, kpad), jnp.int8),
+            pltpu.VMEM((nd, kpad, kpad), jnp.int32),
+        ],
+        # stacks + accumulators + double-buffered operands land ~48K over
+        # the 16M default scoped-vmem budget at kpad=128; v5e has headroom
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xsh, xsl, dhc, dlc, ra)
+
+
+def pack_group(k: int) -> int:
+    return max(1, MAX_KP // k)
+
+
+def build_plane_cache(X: jax.Array) -> PlaneCacheV4:
+    """Structural column-scaled packed f32 planes, lane-padded to MAX_KP.
+
+    Row-groups sit side by side in the lanes (the sandwich is a row
+    reduction, so the G diagonal k×k blocks of the packed result sum to
+    the true sandwich); pad lanes and pad rows are zero.
+    """
+    n, k = X.shape
+    G = pack_group(k)
+    kp = G * k
+    kpad = -(-kp // LANE) * LANE
+    n2 = -(-n // G)
+    n_pad = -(-n2 // SUB) * SUB
+    Xp = jnp.pad(X, [(0, n2 * G - n), (0, 0)]).reshape(n2, kp)
+    absmax = jnp.max(jnp.abs(Xp), axis=0, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
+    exps = jnp.pad(jnp.exp2(e)[0].astype(jnp.float64), (0, kpad - kp), constant_values=1.0)
+    s = Xp * jnp.exp2(-e)
+    xsh = s.astype(jnp.float32)
+    xsl = (s - xsh.astype(jnp.float64)).astype(jnp.float32)
+    pad = [(0, n_pad - n2), (0, kpad - kp)]
+    return PlaneCacheV4(jnp.pad(xsh, pad), jnp.pad(xsl, pad), exps, n, k, G)
+
+
+def supported(n: int, k: int, dtype) -> bool:
+    from .._config import on_tpu
+
+    if not on_tpu():
+        return False
+    return k <= MAX_KP and jnp.dtype(dtype) == jnp.float64
+
+
+def sandwich_from_cache(cache: PlaneCacheV4, d) -> jax.Array:
+    return _sandwich_v4_jit(
+        cache.xsh, cache.xsl, cache.exps, d, cache.n, cache.k, cache.G
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "k", "G", "interpret"))
+def _sandwich_v4_jit(xsh, xsl, exps, d, n, k, G, interpret=False):
+    """Exact ``X.T @ diag(d) @ X`` from the v4 plane cache."""
+    n_pad, kpad = xsh.shape
+    kp = G * k
+    d = jnp.asarray(d, dtype=jnp.float64)
+    md = jnp.max(jnp.abs(d))
+    eD = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(md, 1e-300))), -1000.0, 1000.0)
+    ds = d * jnp.exp2(-eD)
+    dsh1 = ds.astype(jnp.float32)
+    dsl1 = (ds - dsh1.astype(jnp.float64)).astype(jnp.float32)
+    n2 = -(-n // G)
+
+    def compact(v):  # (n,) → (n_pad, G) group columns
+        v = jnp.pad(v, (0, n2 * G - n)).reshape(n2, G)
+        return jnp.pad(v, [(0, n_pad - n2), (0, 0)])
+
+    dhc = compact(dsh1)
+    dlc = compact(dsl1)
+    # per-column A-side exponent upper bound from a cheap f32 pass (the
+    # (1 + 1e-5) margin dominates the f32 relerr, so scaled values ≤ 1;
+    # pad lanes hit the 1e-300 floor and scale to zero harmlessly)
+    m = jnp.max(
+        jnp.abs(xsh[:, :kp]).reshape(n_pad, G, k) * jnp.abs(dhc)[:, :, None],
+        axis=0,
+    ).reshape(kp)
+    eA = jnp.ceil(
+        jnp.log2(jnp.maximum(m.astype(jnp.float64), 1e-300) * (1 + 1e-5))
+    )
+    eA = jnp.clip(eA, -100.0, 100.0)
+    ra = jnp.pad(
+        jnp.exp2(-eA).astype(jnp.float32), (0, kpad - kp)
+    ).reshape(1, kpad)
+    parts = _v4_parts(xsh, xsl, dhc, dlc, ra, k, G, interpret=interpret)
+    nd = 2 * NP - 1
+    sw = jnp.exp2(
+        -(T6 * (jnp.arange(nd, dtype=jnp.float64) + 2.0))
+    )  # anti-diagonal weights 2^-6(s+2)
+    tot = parts[:nd].astype(jnp.float64) + parts[nd:].astype(jnp.float64)
+    out = jnp.einsum("spq,s->pq", tot, sw)
+    scale_a = jnp.exp2(eA + eD) * exps[:kp]
+    out = out[:kp, :kp] * (scale_a[:, None] * exps[None, :kp])
+    out4 = out.reshape(G, k, G, k)
+    gi = jnp.arange(G)
+    return out4[gi, :, gi, :].sum(axis=0)
