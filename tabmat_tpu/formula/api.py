@@ -30,6 +30,7 @@ def from_formula(
     intercept_name: str = "Intercept",
     include_intercept: bool = False,
     add_column_for_intercept: bool = True,
+    cluster_by: str = "none",
     context: Optional[Union[int, Mapping[str, Any]]] = None,
 ):
     """Build a SplitMatrix from a Wilkinson formula and a dataframe.
@@ -76,5 +77,6 @@ def from_formula(
         intercept_name=intercept_name,
         include_intercept=include_intercept,
         add_column_for_intercept=add_column_for_intercept,
+        cluster_by=cluster_by,
         context=context,
     )

@@ -14,14 +14,17 @@ Own implementation of the reference's formulaic-based materializer
   ``model_spec`` whose ``get_model_matrix(new_data)`` re-encodes new data
   with the remembered category levels.
 
-Full-rank logic (``ensure_full_rank=True``) uses the patsy-style rule: a
-categorical factor in a term is reduced-rank iff the term minus that factor
-is already spanned (the intercept spans the empty term).
+Full-rank logic (``ensure_full_rank=True``) follows formulaic's
+structurally-full-rank algorithm (pinned by the reference's vendored
+formulaic tests, ``tests/test_formula.py:948+``): each term expands over the
+powerset of its intercept-spanning categorical factors, pieces spanned by
+earlier terms are dropped, and the survivors are greedily re-merged into the
+minimal set of encodings (``A:B`` with an intercept becomes ``B⁻ + A⁻:B``).
 """
 
 from dataclasses import dataclass, field
 from functools import reduce
-from itertools import product
+from itertools import combinations, product
 from typing import Any, Optional
 
 import numpy as np
@@ -513,6 +516,20 @@ class _Evaluator:
             )
 
         col = self._column(expr)
+        if (
+            self.use_state
+            and (st := self.state.get(expr)) is not None
+            and st.kind == "categorical"
+        ):
+            # a remembered categorical factor stays categorical on
+            # re-materialization even if the live column's dtype is
+            # numeric — upstream formulaic raises on the kind mismatch,
+            # which here surfaces as unseen categories
+            values = col if col is not None else self._eval_python(expr)
+            return self._encode_categorical(
+                expr, values, levels, spans_intercept,
+                cat_missing_method, cat_missing_name,
+            )
         if col is not None:
             dtype = col.dtype
             if nw is not None and isinstance(
@@ -906,6 +923,7 @@ def materialize_formula(
     intercept_name: str = "Intercept",
     include_intercept: bool = False,
     add_column_for_intercept: bool = True,
+    cluster_by: str = "none",
     context: Optional[dict] = None,
 ):
     """Parse + materialize a formula against a dataframe → SplitMatrix."""
@@ -923,6 +941,7 @@ def materialize_formula(
         cat_missing_name=cat_missing_name,
         intercept_name=intercept_name,
         add_column_for_intercept=add_column_for_intercept,
+        cluster_by=cluster_by,
         context=context,
     )
     spec = FormulaModelSpec(
@@ -957,10 +976,21 @@ def _materialize(
     cat_missing_name="(MISSING)",
     intercept_name="Intercept",
     add_column_for_intercept=True,
+    cluster_by="none",
     context=None,
 ):
     if nw is None:
         raise ImportError("from_formula requires narwhals (or pandas).")
+    if na_action not in ("ignore", "drop", "raise"):
+        raise ValueError(
+            f"na_action must be one of 'ignore', 'drop', 'raise'; "
+            f"got {na_action!r}."
+        )
+    if cluster_by not in ("none", "numerical_factors"):
+        raise ValueError(
+            f"cluster_by must be 'none' or 'numerical_factors'; "
+            f"got {cluster_by!r}."
+        )
     df = nw.from_native(data, eager_only=True)
     evaluator = _Evaluator(df, context, state, use_state)
 
@@ -1033,75 +1063,154 @@ def _materialize(
         # column is named by intercept_name
         _append(_numeric_to_matrix(ones, dtype, -1.0), "1")
 
-    for term in sorted(terms, key=lambda t: (t.degree,)):
-        # encode each factor, deciding rank per the spanned-subset rule
-        slots = []
-        for f in term.factors:
-            slot = factor_slots[f]
-            if isinstance(slot, CategoricalSlot):
-                rest = frozenset(set(term.factors) - {f})
-                reduce_this = (
-                    ensure_full_rank
-                    and getattr(slot, "spans_intercept", True)
-                    and rest in spanned
-                )
-                cspec = getattr(slot, "contrasts", None)
-                if cspec is not None and cspec.kind != "treatment":
-                    slots.append(
-                        _contrast_coded_slot(
-                            slot, f, cspec, reduce_this, categorical_format
-                        )
-                    )
-                    continue
-                base_idx = 0
-                if cspec is not None and cspec.base is not None:
-                    cats = list(slot.categories)
-                    scats = [str(c) for c in cats]
-                    if cspec.base in cats:
-                        base_idx = cats.index(cspec.base)
-                    elif str(cspec.base) in scats:
-                        base_idx = scats.index(str(cspec.base))
-                    else:
-                        raise ValueError(
-                            f"Base level {cspec.base!r} is not among the "
-                            f"levels of {f!r}: {cats}."
-                        )
-                formatted = CategoricalSlot(
-                    codes=slot.codes,
-                    categories=[
-                        categorical_format.format(name=f, category=c)
-                        for c in slot.categories
-                    ],
-                    multipliers=slot.multipliers,
-                    name=f,
-                )
-                formatted.spans_intercept = getattr(slot, "spans_intercept", True)
-                slots.append(
-                    _reduce_rank(formatted, base_idx) if reduce_this else formatted
-                )
+    def _encode_factor(f, mode):
+        """Encoded slot of factor ``f`` in ``mode`` 'full'/'reduced'/'asis'."""
+        slot = factor_slots[f]
+        if not isinstance(slot, CategoricalSlot):
+            return slot
+        reduced = mode == "reduced"
+        cspec = getattr(slot, "contrasts", None)
+        if cspec is not None and cspec.kind != "treatment":
+            return _contrast_coded_slot(
+                slot, f, cspec, reduced, categorical_format
+            )
+        base_idx = 0
+        if cspec is not None and cspec.base is not None:
+            cats = list(slot.categories)
+            scats = [str(c) for c in cats]
+            if cspec.base in cats:
+                base_idx = cats.index(cspec.base)
+            elif str(cspec.base) in scats:
+                base_idx = scats.index(str(cspec.base))
             else:
-                slots.append(slot)
-        combined = reduce(
-            lambda a, b: interact(a, b, interaction_separator), slots
+                raise ValueError(
+                    f"Base level {cspec.base!r} is not among the "
+                    f"levels of {f!r}: {cats}."
+                )
+        formatted = CategoricalSlot(
+            codes=slot.codes,
+            categories=[
+                categorical_format.format(name=f, category=c)
+                for c in slot.categories
+            ],
+            multipliers=slot.multipliers,
+            name=f,
         )
-        spanned.add(frozenset(term.factors))
+        formatted.spans_intercept = getattr(slot, "spans_intercept", True)
+        return _reduce_rank(formatted, base_idx) if reduced else formatted
 
-        members = (
-            combined.members if isinstance(combined, BundleSlot) else [combined]
-        )
-        for piece in members:
-            if isinstance(piece, NumericSlot):
-                mat = _numeric_to_matrix(piece, dtype, sparse_threshold)
-            elif isinstance(piece, MultiNumericSlot):
-                mat = _multi_to_matrix(piece, dtype, sparse_threshold)
-            else:
-                mat = _categorical_to_matrix(
-                    piece, dtype, sparse_threshold, cat_threshold
-                )
-            _append(mat, term.name(interaction_separator))
+    ordered_terms = sorted(terms, key=lambda t: (t.degree,))
+    if cluster_by == "numerical_factors":
+        # group terms sharing the same numeric-factor set adjacently,
+        # clusters ordered by first appearance (the formulaic option)
+        def _numkey(t):
+            return frozenset(
+                f
+                for f in t.factors
+                if not isinstance(factor_slots[f], CategoricalSlot)
+            )
+
+        cluster_keys: list = []
+        for t in ordered_terms:
+            kk = _numkey(t)
+            if kk not in cluster_keys:
+                cluster_keys.append(kk)
+        ordered_terms = [
+            t for kk in cluster_keys for t in ordered_terms if _numkey(t) == kk
+        ]
+
+    for term in ordered_terms:
+        # Structurally-full-rank encoding: expand the term over the powerset
+        # of its intercept-spanning categorical factors (each contributes
+        # "absent" or "reduced"), drop pieces whose factor set an earlier
+        # term already spans, then greedily re-merge piece pairs
+        # P = Q ∪ {f⁻} into P with f unreduced — the minimal-piece-count
+        # simplification the reference inherits from formulaic's
+        # materializer (its vendored tests pin this exact behavior).
+        exp = [
+            f
+            for f in term.factors
+            if isinstance(factor_slots[f], CategoricalSlot)
+            and getattr(factor_slots[f], "spans_intercept", True)
+        ]
+        if ensure_full_rank:
+            fixed_key = frozenset(f for f in term.factors if f not in exp)
+            pieces = []  # dict: present exp factor -> "reduced"/"full"
+            for r in range(len(exp) + 1):
+                for subset in combinations(exp, r):
+                    key = fixed_key | frozenset(subset)
+                    if key in spanned:
+                        continue
+                    spanned.add(key)
+                    pieces.append(dict.fromkeys(subset, "reduced"))
+            # iterate to fixpoint: merging can enable further merges
+            # ((1 + A⁻)(1 + B⁻) collapses all the way to A:B full when
+            # nothing is pre-spanned — the reference's cat:cat - 1 case)
+            merged = sorted(pieces, key=len)
+            changed = True
+            while changed:
+                changed = False
+                for i, p in enumerate(merged):
+                    for j, q in enumerate(merged):
+                        extra = set(p) - set(q)
+                        if (
+                            i != j
+                            and len(p) == len(q) + 1
+                            and len(extra) == 1
+                            and all(p[g] == q[g] for g in q)
+                            and p[next(iter(extra))] == "reduced"
+                        ):
+                            newp = dict(p)
+                            newp[next(iter(extra))] = "full"
+                            merged[j] = newp
+                            del merged[i]
+                            changed = True
+                            break
+                    if changed:
+                        break
+            piece_list = sorted(merged, key=len)
+        else:
+            spanned.add(frozenset(term.factors))
+            piece_list = [dict.fromkeys(exp, "full")]
+
+        for piece in piece_list:
+            slots = []
+            for f in term.factors:
+                if f in exp and f not in piece:
+                    continue
+                slots.append(_encode_factor(f, piece.get(f, "asis")))
+            if not slots:
+                continue  # constant piece — covered by the intercept column
+            combined = reduce(
+                lambda a, b: interact(a, b, interaction_separator), slots
+            )
+            members = (
+                combined.members
+                if isinstance(combined, BundleSlot)
+                else [combined]
+            )
+            for m in members:
+                if isinstance(m, NumericSlot):
+                    mat = _numeric_to_matrix(m, dtype, sparse_threshold)
+                elif isinstance(m, MultiNumericSlot):
+                    mat = _multi_to_matrix(m, dtype, sparse_threshold)
+                else:
+                    mat = _categorical_to_matrix(
+                        m, dtype, sparse_threshold, cat_threshold
+                    )
+                if mat.shape[1] == 0:
+                    continue  # piece vanished (all levels dropped)
+                _append(mat, term.name(interaction_separator))
 
     if not matrices:
-        raise ValueError(f"Formula {spec.formula!r} produced no columns.")
+        # an empty formula ("0") materializes to an (n, 0) matrix — the
+        # contract the reference inherits from formulaic (vendored
+        # ``test_empty``), not an error
+        empty = DenseMatrix(np.empty((n_rows, 0), dtype=dtype))
+        empty.model_spec = spec
+        spec.column_names = ()
+        spec.term_names = ()
+        return empty
 
     result = SplitMatrix(matrices)
     result.set_names(term_names, type="term")
