@@ -248,24 +248,30 @@ class DenseMatrix(MatrixBase):
         the kernel never re-slices the d side in HBM — see
         ``ops/pallas_sandwich_v3``.
         """
-        from ..ops import pallas_sandwich_v3
+        from ..ops import pallas_sandwich_v3, pallas_sandwich_v4
 
         n, k = self.shape
-        if not (
-            pallas_sandwich_v3.supported(n, k, self.dtype)
-            and self._ozaki_eligible()
-        ):
+        if not self._ozaki_eligible():
             return None
         if getattr(self, "_plane_cache", None) is None:
-            # narrow matrices pack G row-groups into the lanes (G·k ≤ 100)
-            if pallas_sandwich_v3.pack_group(k) > 1:
-                self._plane_cache = (
-                    pallas_sandwich_v3.build_plane_cache_packed(self._array)
-                )
-            else:
-                self._plane_cache = pallas_sandwich_v3.build_plane_cache(
+            # v4 (anti-diagonal int8 stack, B side precomputed) when the
+            # packed width fits one lane tile; else the v3 self-slicer
+            if pallas_sandwich_v4.supported(n, k, self.dtype):
+                self._plane_cache = pallas_sandwich_v4.build_plane_cache(
                     self._array
                 )
+            elif pallas_sandwich_v3.supported(n, k, self.dtype):
+                # narrow matrices pack G row-groups into the lanes
+                if pallas_sandwich_v3.pack_group(k) > 1:
+                    self._plane_cache = (
+                        pallas_sandwich_v3.build_plane_cache_packed(self._array)
+                    )
+                else:
+                    self._plane_cache = pallas_sandwich_v3.build_plane_cache(
+                        self._array
+                    )
+            else:
+                return None
         return self._plane_cache
 
     def _get_ozaki_cache_T(self):

@@ -251,25 +251,32 @@ class SparseMatrix(MatrixBase):
         return self._mirror_ozaki
 
     def _mirror_plane_cache(self):
-        """f32-plane cache over the mirror for the one-pass v3 sandwich."""
-        from ..ops import pallas_sandwich_v3
+        """f32-plane cache over the mirror for the one-pass sandwich (v4/v3)."""
+        from ..ops import pallas_sandwich_v3, pallas_sandwich_v4
 
         n, k = self.shape
-        if not pallas_sandwich_v3.supported(n, k, self.dtype):
-            return None
-        dense = self._dense_mirror()
-        if dense is None:
-            return None
+        dense = None
         if getattr(self, "_mirror_plane", None) is None:
-            if pallas_sandwich_v3.pack_group(k) > 1:
-                self._mirror_plane = (
-                    pallas_sandwich_v3.build_plane_cache_packed(dense)
-                )
-            else:
-                self._mirror_plane = pallas_sandwich_v3.build_plane_cache(
+            if pallas_sandwich_v4.supported(n, k, self.dtype):
+                dense = self._dense_mirror()
+                if dense is None:
+                    return None
+                self._mirror_plane = pallas_sandwich_v4.build_plane_cache(
                     dense
                 )
-        return self._mirror_plane
+            elif pallas_sandwich_v3.supported(n, k, self.dtype):
+                dense = self._dense_mirror()
+                if dense is None:
+                    return None
+                if pallas_sandwich_v3.pack_group(k) > 1:
+                    self._mirror_plane = (
+                        pallas_sandwich_v3.build_plane_cache_packed(dense)
+                    )
+                else:
+                    self._mirror_plane = pallas_sandwich_v3.build_plane_cache(
+                        dense
+                    )
+        return getattr(self, "_mirror_plane", None)
 
     def _wide_matvec_plan(self):
         """Wide-sparse int8-plane plan for matvec/tmv (None when not apt).
@@ -526,9 +533,12 @@ class SparseMatrix(MatrixBase):
             dm = d_dev if mask is None else d_dev * jnp.asarray(mask)
             plane = self._mirror_plane_cache()
             if plane is not None:
-                from ..ops import pallas_sandwich_v3
+                from ..ops import pallas_sandwich_v3, pallas_sandwich_v4
 
-                S = pallas_sandwich_v3.sandwich_from_cache(plane, dm)
+                if isinstance(plane, pallas_sandwich_v4.PlaneCacheV4):
+                    S = pallas_sandwich_v4.sandwich_from_cache(plane, dm)
+                else:
+                    S = pallas_sandwich_v3.sandwich_from_cache(plane, dm)
             else:
                 S = ozaki.sandwich_cached(self._dense_mirror(), dm, mirror[:2])
             if not is_identity_index(cols, self.shape[1]):

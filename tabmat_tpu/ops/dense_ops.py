@@ -103,10 +103,15 @@ def sandwich(
             from . import ozaki
 
             if plane_cache is not None:
-                # one-pass self-slicing kernel: both sides sliced in VMEM
-                # from the structural f32 planes (pallas_sandwich_v3)
-                from . import pallas_sandwich_v3
+                # one-pass self-slicing kernels over the structural f32
+                # planes: v4 (precomputed int8 B-stack, anti-diagonal
+                # dots) or v3 (both sides sliced in VMEM per call)
+                from . import pallas_sandwich_v3, pallas_sandwich_v4
 
+                if isinstance(plane_cache, pallas_sandwich_v4.PlaneCacheV4):
+                    return pallas_sandwich_v4.sandwich_from_cache(
+                        plane_cache, d
+                    )
                 return pallas_sandwich_v3.sandwich_from_cache(plane_cache, d)
             if ozaki_cache is not None:
                 return ozaki.sandwich_cached(X, d, ozaki_cache)

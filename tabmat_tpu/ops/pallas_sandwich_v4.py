@@ -285,10 +285,12 @@ def _v4_parts(xsh, xsl, dhc, dlc, ra, bstk, k, G, interpret=False):
             pltpu.VMEM((S_MAX, kpad, kpad), jnp.int32),
         ],
         # A-stack + accumulators + double-buffered operands ≈ 14 MB at
-        # kpad=128, SUB=2048; raise the default scoped-vmem budget
+        # kpad=128, SUB=2048, but Mosaic's stack accounting for the wide
+        # d-fold (G up to 64 group columns) peaks at ~66 MB — budget 100
+        # of the 128 MB VMEM
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xsh, xsl, dhc, dlc, ra, bstk)

@@ -315,11 +315,15 @@ class DeviceDesign:
                 meta = ()
                 if pc is not None:
                     from ..ops.pallas_sandwich_v3 import PackedPlaneCache
+                    from ..ops.pallas_sandwich_v4 import PlaneCacheV4
 
                     arrays.update(
                         pln_xsh=pc.xsh, pln_xsl=pc.xsl, pln_exps=pc.exps
                     )
-                    if isinstance(pc, PackedPlaneCache):
+                    if isinstance(pc, PlaneCacheV4):
+                        arrays.update(pln_bstk=pc.bstk)
+                        meta = ("pln_v4", pc.n, pc.k, pc.G)
+                    elif isinstance(pc, PackedPlaneCache):
                         # static packing descriptor rides in the meta slot
                         meta = ("pln_packed", pc.n, pc.k, pc.G)
                 return _Block("dense", arrays, m.shape[1], positions, meta)
@@ -623,7 +627,15 @@ class DeviceDesign:
                 from ..ops import pallas_sandwich_v3
 
                 dmeta = dense_blocks[0].meta
-                if dmeta and dmeta[0] == "pln_packed":
+                if dmeta and dmeta[0] == "pln_v4":
+                    from ..ops import pallas_sandwich_v4
+
+                    _, pn, pk, pG = dmeta
+                    S_dd = pallas_sandwich_v4._sandwich_v4_jit(
+                        da["pln_xsh"], da["pln_xsl"], da["pln_bstk"],
+                        da["pln_exps"], w, pn, pk, pG,
+                    )
+                elif dmeta and dmeta[0] == "pln_packed":
                     _, pn, pk, pG = dmeta
                     S_dd = pallas_sandwich_v3._sandwich_v3_packed_jit(
                         da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w,
