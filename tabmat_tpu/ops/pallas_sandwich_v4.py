@@ -316,19 +316,24 @@ def _build_bstk(xsh, xsl, interpret=False):
     return stk.reshape(n_steps * NP * SUB, kpad)
 
 
-def build_plane_cache(X: jax.Array) -> PlaneCacheV4:
+def build_plane_cache(X: jax.Array, row_multiple: int = SUB) -> PlaneCacheV4:
     """Structural column-scaled packed f32 planes + int8 B-stack.
 
     Row-groups sit side by side in the lanes (the sandwich is a row
     reduction, so the G diagonal k×k blocks of the packed result sum to
     the true sandwich); pad lanes and pad rows are zero.
+
+    ``row_multiple`` rounds the padded row count up to a multiple of
+    that many rows (≥ SUB); pass ``SUB * n_shards`` to make the cache
+    row-shardable for ``parallel.shard_ops.sharded_plane_sandwich``.
     """
     n, k = X.shape
     G = pack_group(k)
     kp = G * k
     kpad = -(-kp // LANE) * LANE
     n2 = -(-n // G)
-    n_pad = -(-n2 // SUB) * SUB
+    row_multiple = max(row_multiple, SUB)
+    n_pad = -(-n2 // row_multiple) * row_multiple
     Xp = jnp.pad(X, [(0, n2 * G - n), (0, 0)]).reshape(n2, kp)
     absmax = jnp.max(jnp.abs(Xp), axis=0, keepdims=True)
     e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-300)))
@@ -364,9 +369,12 @@ def sandwich_from_cache(cache: PlaneCacheV4, d) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("n", "k", "G", "interpret"))
-def _sandwich_v4_jit(xsh, xsl, bstk, exps, d, n, k, G, interpret=False):
-    """Exact ``X.T @ diag(d) @ X`` from the v4 plane cache."""
+def _v4_prep(xsh, d, n, k, G):
+    """d-side compact group columns + per-column A-exponent bound.
+
+    Pure jnp (GSPMD-legal on row-sharded ``xsh``); returns
+    ``(dhc, dlc, ra, eA, eD)``.
+    """
     n_pad, kpad = xsh.shape
     kp = G * k
     d = jnp.asarray(d, dtype=jnp.float64)
@@ -397,14 +405,27 @@ def _sandwich_v4_jit(xsh, xsl, bstk, exps, d, n, k, G, interpret=False):
     ra = jnp.pad(
         jnp.exp2(-eA).astype(jnp.float32), (0, kpad - kp)
     ).reshape(1, kpad)
-    parts = _v4_parts(xsh, xsl, dhc, dlc, ra, bstk, k, G, interpret=interpret)
+    return dhc, dlc, ra, eA, eD
+
+
+def _v4_combine(tot, eA, eD, exps, k, G):
+    """Weight the f64 anti-diagonal sums and fold the packed groups."""
+    kp = G * k
     sw = jnp.exp2(
         -(T6 * (jnp.arange(S_MAX, dtype=jnp.float64) + 2.0))
     )  # anti-diagonal weights 2^-6(s+2)
-    tot = parts[:S_MAX].astype(jnp.float64) + parts[S_MAX:].astype(jnp.float64)
     out = jnp.einsum("spq,s->pq", tot, sw)
     scale_a = jnp.exp2(eA + eD) * exps[:kp]
     out = out[:kp, :kp] * (scale_a[:, None] * exps[None, :kp])
     out4 = out.reshape(G, k, G, k)
     gi = jnp.arange(G)
     return out4[gi, :, gi, :].sum(axis=0)
+
+
+@partial(jax.jit, static_argnames=("n", "k", "G", "interpret"))
+def _sandwich_v4_jit(xsh, xsl, bstk, exps, d, n, k, G, interpret=False):
+    """Exact ``X.T @ diag(d) @ X`` from the v4 plane cache."""
+    dhc, dlc, ra, eA, eD = _v4_prep(xsh, d, n, k, G)
+    parts = _v4_parts(xsh, xsl, dhc, dlc, ra, bstk, k, G, interpret=interpret)
+    tot = parts[:S_MAX].astype(jnp.float64) + parts[S_MAX:].astype(jnp.float64)
+    return _v4_combine(tot, eA, eD, exps, k, G)

@@ -88,6 +88,72 @@ def sharded_segment_sum(
     return _kernel(values, codes)
 
 
+def sharded_plane_sandwich(
+    cache,
+    d: jax.Array,
+    mesh: Mesh,
+    axis: str = "dp",
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-sharded exact-f64 dense sandwich on the v4 Pallas kernel.
+
+    The fast-kernel analog of ``sharded_sandwich``: each shard runs the
+    int8 anti-diagonal Mosaic kernel (``ops.pallas_sandwich_v4``) over
+    its row slab of the structural plane cache, and ONE
+    (2·S_MAX, kpad, kpad) ``psum`` of the f64-promoted compensated
+    partials rides ICI before the replicated final combine.  Matches the
+    single-device ``sandwich_from_cache`` to f64 roundoff (partials are
+    exact per shard; only the f64 psum and combine round).
+
+    Build the cache with ``row_multiple=v4.SUB * n_shards`` so the row
+    slabs split evenly; ``interpret=True`` runs the kernel's pure-jax
+    interpretation (CPU meshes / tests).
+    """
+    from ..ops import pallas_sandwich_v4 as v4
+
+    n_shards = mesh.shape[axis]
+    n_pad = cache.xsh.shape[0]
+    if n_pad % (v4.SUB * n_shards):
+        raise ValueError(
+            f"plane cache rows ({n_pad}) must split into {n_shards} "
+            f"shards of whole {v4.SUB}-row grid steps; build the cache "
+            f"with row_multiple=SUB*n_shards"
+        )
+    # d-side prep is plain jnp: GSPMD partitions it over the sharded
+    # operands (two scalar/row reductions, negligible traffic)
+    dhc, dlc, ra, eA, eD = v4._v4_prep(cache.xsh, d, cache.n, cache.k, cache.G)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(axis, None),
+            P(None, None),
+            P(axis, None),
+        ),
+        out_specs=P(None, None, None),
+        # pallas_call's out_shape carries no varying-mesh-axes note;
+        # correctness is by construction (psum below replicates)
+        check_vma=False,
+    )
+    def _kernel(xsh, xsl, dhc_l, dlc_l, ra_l, bstk):
+        parts = v4._v4_parts(
+            xsh, xsl, dhc_l, dlc_l, ra_l, bstk,
+            cache.k, cache.G, interpret=interpret,
+        )
+        tot = (
+            parts[: v4.S_MAX].astype(jnp.float64)
+            + parts[v4.S_MAX :].astype(jnp.float64)
+        )
+        return jax.lax.psum(tot, axis_name=axis)
+
+    tot = _kernel(cache.xsh, cache.xsl, dhc, dlc, ra, cache.bstk)
+    return v4._v4_combine(tot, eA, eD, cache.exps, cache.k, cache.G)
+
+
 def place_row_sharded(mesh: Mesh, *arrays):
     """Device-put arrays with their leading axis sharded over 'dp'."""
     out = []

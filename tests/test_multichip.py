@@ -137,6 +137,43 @@ def test_shard_map_sandwich(mesh):
     )
 
 
+def test_shard_map_pallas_v4_sandwich(mesh):
+    """The v4 Pallas kernel itself under shard_map: per-shard int8
+    anti-diagonal kernel + one f64 psum matches the exact f64 sandwich."""
+    from tabmat_tpu.ops import pallas_sandwich_v4 as v4
+    from tabmat_tpu.parallel.shard_ops import (
+        place_row_sharded,
+        sharded_plane_sandwich,
+    )
+
+    rng = np.random.default_rng(12)
+    n, k = 5000, 7
+    X_np = rng.standard_normal((n, k)) * np.exp2(
+        rng.uniform(-6, 6, size=(1, k))
+    )
+    d_np = rng.random(n) * np.exp2(rng.uniform(-3, 3, size=n))
+    nsh = mesh.shape["dp"]
+    cache = v4.build_plane_cache(
+        jnp.asarray(X_np), row_multiple=v4.SUB * nsh
+    )
+    xsh, xsl, bstk = place_row_sharded(
+        mesh, cache.xsh, cache.xsl, cache.bstk
+    )
+    cache = cache._replace(xsh=xsh, xsl=xsl, bstk=bstk)
+    with mesh:
+        S = sharded_plane_sandwich(
+            cache, jnp.asarray(d_np), mesh, interpret=True
+        )
+    ref = (X_np * d_np[:, None]).T @ X_np
+    relerr = np.abs(np.asarray(S) - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13
+
+    # wrong row multiple is rejected, not silently mis-sharded
+    bad = v4.build_plane_cache(jnp.asarray(X_np[:100]))
+    with pytest.raises(ValueError, match="row_multiple"):
+        sharded_plane_sandwich(bad, jnp.asarray(d_np[:100]), mesh)
+
+
 def test_shard_map_tmv(mesh):
     from tabmat_tpu.parallel.shard_ops import (
         place_row_sharded,
