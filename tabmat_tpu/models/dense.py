@@ -341,12 +341,25 @@ class DenseMatrix(MatrixBase):
                 mask = rows_to_mask(np.asarray(rows), n, vec.dtype)
                 m = jnp.asarray(mask)
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
-            cache = self._get_ozaki_cache() if v_eff.ndim == 1 else None
-            if cache is not None:
-                from ..ops import ozaki
+            res_full = None
+            if v_eff.ndim == 1:
+                from ..ops import pallas_sandwich_v4
 
-                res_full = ozaki.transpose_matvec_cached(cache[0], cache[1], v_eff)
-            else:
+                pc = self._get_plane_cache()
+                if isinstance(pc, pallas_sandwich_v4.PlaneCacheV4):
+                    # one batched int8 dot over the sandwich cache's
+                    # B-stack — reads the only O(n·k) operand once and
+                    # shares HBM with the sandwich (no second slice cache)
+                    res_full = pallas_sandwich_v4.tmv_from_cache(pc, v_eff)
+                else:
+                    cache = self._get_ozaki_cache()
+                    if cache is not None:
+                        from ..ops import ozaki
+
+                        res_full = ozaki.transpose_matvec_cached(
+                            cache[0], cache[1], v_eff
+                        )
+            if res_full is None:
                 res_full = dense_ops.transpose_matvec(self._array, v_eff)
             if unrestricted_cols:
                 res = res_full

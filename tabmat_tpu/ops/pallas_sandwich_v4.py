@@ -168,19 +168,21 @@ def _v4_kernel(
     xl = xl_ref[:]
 
     # rebuild the lane-expanded d from the compact (SUB, G) group columns
-    lane_group = jax.lax.broadcasted_iota(jnp.int32, (SUB, kpad), 1) // jnp.int32(k)
-    group_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, G), 1)
+    # with one tiny MXU dot per operand: dh = dsub @ gsel, where
+    # gsel[g, c] = 1 iff lane c belongs to group g (pad lanes: all-zero
+    # rows → zeros, matching the zero pad columns of xsh)
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (G, kpad), 1) // jnp.int32(k)
+    gsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, kpad), 0) == lane_group
+    ).astype(jnp.float32)
 
     def expand_d(dsub):
-        acc = jnp.zeros((SUB, kpad), jnp.float32)
-        for g in range(G):
-            colg = jnp.sum(
-                dsub * (group_iota == g).astype(jnp.float32),
-                axis=1,
-                keepdims=True,
-            )
-            acc = jnp.where(lane_group == g, colg, acc)
-        return acc
+        return jax.lax.dot_general(
+            dsub,
+            gsel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     dh = expand_d(dh_ref[:])
     dl = expand_d(dl_ref[:])
@@ -378,11 +380,38 @@ def _v4_prep(xsh, d, n, k, G):
     n_pad, kpad = xsh.shape
     kp = G * k
     d = jnp.asarray(d, dtype=jnp.float64)
-    md = jnp.max(jnp.abs(d))
-    eD = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(md, 1e-300))), -1000.0, 1000.0)
-    ds = d * jnp.exp2(-eD)
-    dsh1 = ds.astype(jnp.float32)
-    dsl1 = (ds - dsh1.astype(jnp.float64)).astype(jnp.float32)
+    # Fast path (the common one — |d| comfortably inside f32 range):
+    # split first, scale second.  The only emulated-f64 pass over the n
+    # elements is the pair-split subtract; the 2^-eD scale is a power of
+    # two applied to each f32 half separately, which stays exact
+    # (dsh1 + dsl1 = d·2^-eD).  The f32 max bounds |d| to within 2^-24,
+    # covered by the (1 + 1e-5) margin.  Elements denormal in f32 sit
+    # ≥ 48 bits below the max (gate: max ≥ 2^-100) — below the slice
+    # coverage, so their pair truncation is invisible.
+    # Slow path (overflow/underflow/NaN): scale in f64, then split —
+    # three emulated passes, full f64 range.
+    dh1 = d.astype(jnp.float32)
+    m1 = jnp.max(jnp.abs(dh1))
+    ok = jnp.isfinite(m1) & (m1 >= jnp.float32(2.0**-100))
+
+    def _fast(d):
+        dl1 = (d - dh1.astype(jnp.float64)).astype(jnp.float32)
+        eD = jnp.ceil(
+            jnp.log2(m1.astype(jnp.float64) * (1 + 1e-5))
+        )
+        sD = jnp.exp2(-eD).astype(jnp.float32)
+        return dh1 * sD, dl1 * sD, eD
+
+    def _slow(d):
+        md = jnp.max(jnp.abs(d))
+        eD = jnp.clip(
+            jnp.ceil(jnp.log2(jnp.maximum(md, 1e-300))), -1000.0, 1000.0
+        )
+        ds = d * jnp.exp2(-eD)
+        a = ds.astype(jnp.float32)
+        return a, (ds - a.astype(jnp.float64)).astype(jnp.float32), eD
+
+    dsh1, dsl1, eD = jax.lax.cond(ok, _fast, _slow, d)
     n2 = -(-n // G)
 
     def compact(v):  # (n,) → (n_pad, G) group columns
@@ -393,11 +422,19 @@ def _v4_prep(xsh, d, n, k, G):
     dlc = compact(dsl1)
     # per-column A-side exponent upper bound from a cheap f32 pass (the
     # (1 + 1e-5) margin dominates the f32 relerr, so scaled values ≤ 1;
-    # pad lanes hit the 1e-300 floor and scale to zero harmlessly)
-    m = jnp.max(
-        jnp.abs(xsh[:, :kp]).reshape(n_pad, G, k) * jnp.abs(dhc)[:, :, None],
-        axis=0,
-    ).reshape(kp)
+    # pad lanes hit the 1e-300 floor and scale to zero harmlessly).
+    # The |d| lane-expansion stays in the packed lane layout — stride-0
+    # broadcasts + per-group lane masks fuse into ONE pass over xsh
+    # (the earlier (n_pad, G, k) reshape forced a full lane-reshuffle
+    # relayout of xsh: measured 4.7 ms of a 12.4 ms sandwich at 1M×50)
+    kpad_i = xsh.shape[1]
+    lane_g = jax.lax.iota(jnp.int32, kpad_i)[None, :] // jnp.int32(k)
+    dexp_abs = jnp.zeros((n_pad, kpad_i), dtype=jnp.float32)
+    for g in range(G):
+        dexp_abs = jnp.where(
+            lane_g == g, jnp.abs(dhc[:, g : g + 1]), dexp_abs
+        )
+    m = jnp.max(jnp.abs(xsh) * dexp_abs, axis=0)[:kp]
     eA = jnp.ceil(
         jnp.log2(jnp.maximum(m.astype(jnp.float64), 1e-300) * (1 + 1e-5))
     )
@@ -429,3 +466,68 @@ def _sandwich_v4_jit(xsh, xsl, bstk, exps, d, n, k, G, interpret=False):
     parts = _v4_parts(xsh, xsl, dhc, dlc, ra, bstk, k, G, interpret=interpret)
     tot = parts[:S_MAX].astype(jnp.float64) + parts[S_MAX:].astype(jnp.float64)
     return _v4_combine(tot, eA, eD, exps, k, G)
+
+
+def tmv_from_cache(cache: PlaneCacheV4, r) -> jax.Array:
+    """``X.T @ r`` from the v4 plane cache's int8 B-stack (no Pallas).
+
+    One batched int8 MXU dot per grid step reads the descending B-stack
+    exactly once (the only O(n·k) traffic — the bf16/f32 tmv routes read
+    2-3.5× more):
+
+        out_int[t, p·G+g, j, :] = Σ_r qr_p[t·SUB+r, g] · bstk_t[j, r, :]
+
+    with ``qr`` the NP T6-bit planes of the globally scaled r (f32 pair,
+    same slicer as the kernel's A side).  Per-(t, pg, j) sums are int32-
+    exact (products ≤ 65² = 4225, SUB = 2048 rows → ≤ 2^23.1); the step
+    sum and plane weighting run in f64.  All 64 (p, q) plane pairs are
+    kept (they come free from one dot), so unlike the sandwich there is
+    no anti-diagonal truncation — the only error is the 48-bit pair
+    slicing + the final f64 combine (measured ≲ 1e-15 relerr).
+
+    Counterpart of the reference's dense transpose-matvec
+    (``tabmat/ext/dense_helpers-tmpl.cpp:286-344``).
+    """
+    return _tmv_v4_jit(cache.bstk, cache.exps, r, cache.n, cache.k, cache.G)
+
+
+@partial(jax.jit, static_argnames=("n", "k", "G"))
+def _tmv_v4_jit(bstk, exps, r, n, k, G):
+    kpad = bstk.shape[1]
+    kp = G * k
+    n_steps = bstk.shape[0] // (NP * SUB)
+    n_pad = n_steps * SUB
+    n2 = -(-n // G)
+    r = jnp.asarray(r, dtype=jnp.float64)
+    mr = jnp.max(jnp.abs(r))
+    er = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(mr, 1e-300))), -1000.0, 1000.0)
+    rs = r * jnp.exp2(-er)
+    rh = rs.astype(jnp.float32)
+    rl = (rs - rh.astype(jnp.float64)).astype(jnp.float32)
+
+    def compact(v):  # (n,) → (n_pad, G) packed group columns
+        v = jnp.pad(v, (0, n2 * G - n)).reshape(n2, G)
+        return jnp.pad(v, [(0, n_pad - n2), (0, 0)])
+
+    qr = jnp.stack(
+        _plane_slices_pair(compact(rh), compact(rl), False), axis=0
+    )  # (NP, n_pad, G) int8-valued
+    lhs = qr.reshape(NP, n_steps, SUB, G).transpose(1, 0, 3, 2)
+    lhs = lhs.reshape(n_steps, NP * G, SUB)
+    rhs = bstk.reshape(n_steps, NP, SUB, kpad)  # block j holds plane NP-1-j
+    oi = jax.lax.dot_general(
+        lhs,
+        rhs,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (n_steps, NP·G, NP, kpad), exact
+    o = jnp.sum(
+        oi.reshape(n_steps, NP, G, NP, kpad).astype(jnp.float64), axis=0
+    )  # (NP, G, NP, kpad)
+    p_i = jnp.arange(NP)[:, None]
+    q_i = (NP - 1 - jnp.arange(NP))[None, :]
+    w = jnp.exp2(-(T6 * (p_i + q_i + 2)).astype(jnp.float64))
+    og = jnp.einsum("pgqk,pq->gk", o, w)[:, :kp].reshape(G, G, k)
+    gi = jnp.arange(G)
+    out = og[gi, gi, :] * exps[:kp].reshape(G, k)  # group g × its own lanes
+    return jnp.sum(out, axis=0) * jnp.exp2(er)
