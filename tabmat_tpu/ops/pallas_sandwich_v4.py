@@ -167,21 +167,31 @@ def _v4_kernel(
     xh = xh_ref[:]
     xl = xl_ref[:]
 
-    # rebuild the lane-expanded d from the compact (SUB, G) group columns
-    # with one tiny MXU dot per operand: dh = dsub @ gsel, where
-    # gsel[g, c] = 1 iff lane c belongs to group g (pad lanes: all-zero
-    # rows → zeros, matching the zero pad columns of xsh)
-    lane_group = jax.lax.broadcasted_iota(jnp.int32, (G, kpad), 1) // jnp.int32(k)
+    # rebuild the lane-expanded d from the transposed (G8, SUB) group
+    # rows with one tiny MXU dot per operand: dh = dsubᵀ-contracted
+    # gsel, where gsel[g, c] = 1 iff lane c belongs to group g.  The
+    # transposed layout keeps the d operands sublane-padded only
+    # (G8 = G rounded up to 8) — the earlier (SUB, G) group columns
+    # lane-padded G → 128, a 64× HBM blowup on the d stream.  Pad lanes
+    # c ≥ G·k map to pad rows g ≥ G, which are zero → dh = 0 there.
+    G8 = dh_ref.shape[0]
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (G8, kpad), 1) // jnp.int32(k)
     gsel = (
-        jax.lax.broadcasted_iota(jnp.int32, (G, kpad), 0) == lane_group
+        jax.lax.broadcasted_iota(jnp.int32, (G8, kpad), 0) == lane_group
     ).astype(jnp.float32)
 
     def expand_d(dsub):
         return jax.lax.dot_general(
             dsub,
             gsel,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST = split-operand bf16 passes; exact for this
+            # one-hot contraction (the bf16 splits of an f32 value have
+            # disjoint mantissas, so the pass sum recombines exactly —
+            # default single-pass bf16 rounds dh to 8 mantissa bits:
+            # measured relerr 7e-6 on hardware)
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     dh = expand_d(dh_ref[:])
@@ -252,6 +262,7 @@ def _v4_kernel(
 def _v4_parts(xsh, xsl, dhc, dlc, ra, bstk, k, G, interpret=False):
     n_pad, kpad = xsh.shape
     n_steps = n_pad // SUB
+    G8 = dhc.shape[0]
     kernel = partial(
         _v4_kernel,
         kpad=kpad,
@@ -261,7 +272,7 @@ def _v4_parts(xsh, xsl, dhc, dlc, ra, bstk, k, G, interpret=False):
         interpret=interpret,
     )
     spec = pl.BlockSpec((SUB, kpad), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((SUB, G), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((G8, SUB), lambda i: (i * 0, i), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec(
         (NP * SUB, kpad), lambda i: (i, i * 0), memory_space=pltpu.VMEM
     )
@@ -371,11 +382,16 @@ def sandwich_from_cache(cache: PlaneCacheV4, d) -> jax.Array:
     )
 
 
-def _v4_prep(xsh, d, n, k, G):
-    """d-side compact group columns + per-column A-exponent bound.
+def _v4_prep(xsh, d, n, k, G, pallas_max=True, interpret=False):
+    """d-side transposed group rows + per-column A-exponent bound.
 
-    Pure jnp (GSPMD-legal on row-sharded ``xsh``); returns
-    ``(dhc, dlc, ra, eA, eD)``.
+    Returns ``(dhc, dlc, ra, eA, eD)`` with ``dhc``/``dlc`` of shape
+    ``(G8, n_pad)`` (groups in sublanes, padded to 8 — lane-major rows
+    keep the d stream at ~n·4 bytes instead of the 64×-padded
+    ``(n_pad, G)`` columns).  ``pallas_max=True`` computes the exact
+    per-column |x·d| max with a bandwidth-bound Pallas prepass;
+    ``pallas_max=False`` keeps a pure-jnp formulation (GSPMD-legal on
+    row-sharded ``xsh`` — used by ``parallel.shard_ops``).
     """
     n_pad, kpad = xsh.shape
     kp = G * k
@@ -413,28 +429,39 @@ def _v4_prep(xsh, d, n, k, G):
 
     dsh1, dsl1, eD = jax.lax.cond(ok, _fast, _slow, d)
     n2 = -(-n // G)
+    G8 = -(-G // 8) * 8
 
-    def compact(v):  # (n,) → (n_pad, G) group columns
-        v = jnp.pad(v, (0, n2 * G - n)).reshape(n2, G)
-        return jnp.pad(v, [(0, n_pad - n2), (0, 0)])
+    def compact_T(v):  # (n,) → (G8, n_pad) transposed group rows
+        v = jnp.pad(v, (0, n2 * G - n))
+        rows = [
+            jax.lax.slice(v, (g,), (n2 * G,), (G,)) for g in range(G)
+        ]  # 1-D strided slices stay lane-major
+        out = jnp.stack(rows, axis=0)  # (G, n2)
+        return jnp.pad(out, [(0, G8 - G), (0, n_pad - n2)])
 
-    dhc = compact(dsh1)
-    dlc = compact(dsl1)
-    # per-column A-side exponent upper bound from a cheap f32 pass (the
+    dhc = compact_T(dsh1)
+    dlc = compact_T(dsl1)
+    # exact per-column max of |x_scaled|·|d_scaled| → eA bound (the
     # (1 + 1e-5) margin dominates the f32 relerr, so scaled values ≤ 1;
-    # pad lanes hit the 1e-300 floor and scale to zero harmlessly).
-    # The |d| lane-expansion stays in the packed lane layout — stride-0
-    # broadcasts + per-group lane masks fuse into ONE pass over xsh
-    # (the earlier (n_pad, G, k) reshape forced a full lane-reshuffle
-    # relayout of xsh: measured 4.7 ms of a 12.4 ms sandwich at 1M×50)
-    kpad_i = xsh.shape[1]
-    lane_g = jax.lax.iota(jnp.int32, kpad_i)[None, :] // jnp.int32(k)
-    dexp_abs = jnp.zeros((n_pad, kpad_i), dtype=jnp.float32)
-    for g in range(G):
-        dexp_abs = jnp.where(
-            lane_g == g, jnp.abs(dhc[:, g : g + 1]), dexp_abs
-        )
-    m = jnp.max(jnp.abs(xsh) * dexp_abs, axis=0)[:kp]
+    # pad lanes hit the 1e-300 floor and scale to zero harmlessly)
+    if pallas_max:
+        m8 = _max_prepass(xsh, jnp.abs(dhc), k, G, interpret=interpret)
+        m = jnp.max(m8, axis=0)[:kp]
+    else:
+        # jnp fallback: (n_pad, G) group columns + stride-0 lane
+        # broadcasts fuse into one pass over xsh.  Pays the lane-padded
+        # d columns, but is GSPMD-partitionable on row-sharded xsh —
+        # the sharded sandwich (parallel/shard_ops) uses this form.
+        vg = jnp.pad(dsh1, (0, n2 * G - n)).reshape(n2, G)
+        vg = jnp.pad(vg, [(0, n_pad - n2), (0, 0)])
+        kpad_i = xsh.shape[1]
+        lane_g = jax.lax.iota(jnp.int32, kpad_i)[None, :] // jnp.int32(k)
+        dexp_abs = jnp.zeros((n_pad, kpad_i), dtype=jnp.float32)
+        for g in range(G):
+            dexp_abs = jnp.where(
+                lane_g == g, jnp.abs(vg[:, g : g + 1]), dexp_abs
+            )
+        m = jnp.max(jnp.abs(xsh) * dexp_abs, axis=0)[:kp]
     eA = jnp.ceil(
         jnp.log2(jnp.maximum(m.astype(jnp.float64), 1e-300) * (1 + 1e-5))
     )
@@ -443,6 +470,55 @@ def _v4_prep(xsh, d, n, k, G):
         jnp.exp2(-eA).astype(jnp.float32), (0, kpad - kp)
     ).reshape(1, kpad)
     return dhc, dlc, ra, eA, eD
+
+
+def _max_kernel(xh_ref, da_ref, o_ref, *, kpad, k):
+    """Running per-column max of |xsh| · dabs over the row grid."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    G8 = da_ref.shape[0]
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (G8, kpad), 1) // jnp.int32(k)
+    gsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (G8, kpad), 0) == lane_group
+    ).astype(jnp.float32)
+    dexp = jax.lax.dot_general(
+        da_ref[:],
+        gsel,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (SUB, kpad) — exact copies (one-hot contraction at HIGHEST)
+    prod = jnp.abs(xh_ref[:]) * dexp
+    cand = jnp.max(prod.reshape(SUB // 8, 8, kpad), axis=0)  # (8, kpad)
+    o_ref[...] = jnp.maximum(o_ref[...], cand)
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _max_prepass(xsh, dabs, k, G, interpret=False):
+    """(8, kpad) per-column running max of |xsh|·|d| (fold rows outside)."""
+    n_pad, kpad = xsh.shape
+    n_steps = n_pad // SUB
+    G8 = dabs.shape[0]
+    return pl.pallas_call(
+        partial(_max_kernel, kpad=kpad, k=k),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((SUB, kpad), lambda i: (i, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G8, SUB), lambda i: (i * 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, kpad), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, kpad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xsh, dabs)
 
 
 def _v4_combine(tot, eA, eD, exps, k, G):
@@ -462,7 +538,7 @@ def _v4_combine(tot, eA, eD, exps, k, G):
 @partial(jax.jit, static_argnames=("n", "k", "G", "interpret"))
 def _sandwich_v4_jit(xsh, xsl, bstk, exps, d, n, k, G, interpret=False):
     """Exact ``X.T @ diag(d) @ X`` from the v4 plane cache."""
-    dhc, dlc, ra, eA, eD = _v4_prep(xsh, d, n, k, G)
+    dhc, dlc, ra, eA, eD = _v4_prep(xsh, d, n, k, G, interpret=interpret)
     parts = _v4_parts(xsh, xsl, dhc, dlc, ra, bstk, k, G, interpret=interpret)
     tot = parts[:S_MAX].astype(jnp.float64) + parts[S_MAX:].astype(jnp.float64)
     return _v4_combine(tot, eA, eD, exps, k, G)
@@ -505,14 +581,15 @@ def _tmv_v4_jit(bstk, exps, r, n, k, G):
     rh = rs.astype(jnp.float32)
     rl = (rs - rh.astype(jnp.float64)).astype(jnp.float32)
 
-    def compact(v):  # (n,) → (n_pad, G) packed group columns
-        v = jnp.pad(v, (0, n2 * G - n)).reshape(n2, G)
-        return jnp.pad(v, [(0, n_pad - n2), (0, 0)])
+    def compact_T(v):  # (n,) → (G, n_pad) transposed group rows
+        v = jnp.pad(v, (0, n2 * G - n))
+        rows = [jax.lax.slice(v, (g,), (n2 * G,), (G,)) for g in range(G)]
+        return jnp.pad(jnp.stack(rows, axis=0), [(0, 0), (0, n_pad - n2)])
 
     qr = jnp.stack(
-        _plane_slices_pair(compact(rh), compact(rl), False), axis=0
-    )  # (NP, n_pad, G) int8-valued
-    lhs = qr.reshape(NP, n_steps, SUB, G).transpose(1, 0, 3, 2)
+        _plane_slices_pair(compact_T(rh), compact_T(rl), False), axis=0
+    )  # (NP, G, n_pad) int8-valued, lane-major rows
+    lhs = qr.reshape(NP, G, n_steps, SUB).transpose(2, 0, 1, 3)
     lhs = lhs.reshape(n_steps, NP * G, SUB)
     rhs = bstk.reshape(n_steps, NP, SUB, kpad)  # block j holds plane NP-1-j
     oi = jax.lax.dot_general(

@@ -119,9 +119,12 @@ def sharded_plane_sandwich(
             f"shards of whole {v4.SUB}-row grid steps; build the cache "
             f"with row_multiple=SUB*n_shards"
         )
-    # d-side prep is plain jnp: GSPMD partitions it over the sharded
-    # operands (two scalar/row reductions, negligible traffic)
-    dhc, dlc, ra, eA, eD = v4._v4_prep(cache.xsh, d, cache.n, cache.k, cache.G)
+    # d-side prep is plain jnp (pallas_max=False picks the GSPMD-legal
+    # eA formulation): XLA partitions it over the sharded operands; the
+    # (G8, n_pad) d rows shard along their LANE axis (dim 1)
+    dhc, dlc, ra, eA, eD = v4._v4_prep(
+        cache.xsh, d, cache.n, cache.k, cache.G, pallas_max=False
+    )
 
     @partial(
         shard_map,
@@ -129,8 +132,8 @@ def sharded_plane_sandwich(
         in_specs=(
             P(axis, None),
             P(axis, None),
-            P(axis, None),
-            P(axis, None),
+            P(None, axis),
+            P(None, axis),
             P(None, None),
             P(axis, None),
         ),

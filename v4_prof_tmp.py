@@ -1,9 +1,4 @@
-"""v4 piece profile with chained-marginal timing (relay memoization-proof).
-
-Each link's input depends on the previous link's output, and every run
-uses a distinct seed, so neither the relay's result memoization nor XLA
-CSE can collapse the chain.  Marginal = (t(K2) - t(K1)) / (K2 - K1).
-"""
+"""v4 full-op + tmv measurement after the transposed-d restructure."""
 
 import functools
 import time
@@ -24,13 +19,22 @@ X = jnp.asarray(rng.standard_normal((n, k)))
 d0 = jnp.asarray(rng.random(n))
 r0 = jnp.asarray(rng.standard_normal(n))
 
-t0 = time.time()
 cache = v4.build_plane_cache(X)
 jax.block_until_ready(cache.bstk)
-print(f"cache build {time.time()-t0:.2f}s xsh{cache.xsh.shape} bstk{cache.bstk.shape} G={cache.G}")
+print("cache ready")
+
+# correctness on hardware first
+S = v4._sandwich_v4_jit(cache.xsh, cache.xsl, cache.bstk, cache.exps, d0,
+                        cache.n, cache.k, cache.G)
+ref = (np.asarray(X) * np.asarray(d0)[:, None]).T @ np.asarray(X)
+relerr = np.abs(np.asarray(S) - ref).max() / np.abs(ref).max()
+print("sandwich relerr", relerr)
+got = v4._tmv_v4_jit(cache.bstk, cache.exps, r0, cache.n, cache.k, cache.G)
+reft = np.asarray(X).T @ np.asarray(r0)
+print("tmv relerr", np.abs(np.asarray(got) - reft).max() / np.abs(reft).max())
 
 K1 = 3
-seed_ctr = [100]
+seed_ctr = [700]
 
 
 def marginal(tag, step, x0):
@@ -43,7 +47,8 @@ def marginal(tag, step, x0):
         np.asarray(jnp.ravel(x)[0])
         return time.perf_counter() - t0
 
-    run(2)  # warm/compile
+    run(2)
+    best = float("inf")
     for K2 in (K1 + 10, K1 + 40, K1 + 160):
         best = float("inf")
         for _ in range(2):
@@ -52,11 +57,10 @@ def marginal(tag, step, x0):
             best = min(best, (t2 - t1) / (K2 - K1))
         if best * (K2 - K1) >= 0.025:
             break
-    print(f"{tag:18s} {best*1e3:8.3f} ms")
+    print(f"{tag:22s} {best*1e3:8.3f} ms")
     return best
 
 
-# full op
 marginal(
     "full sandwich",
     lambda d: d * (1.0 + jnp.abs(v4._sandwich_v4_jit(
@@ -64,55 +68,20 @@ marginal(
         cache.n, cache.k, cache.G)[0, 0]) * 1e-30),
     d0,
 )
-
-# prep only
-prep = jax.jit(v4._v4_prep, static_argnames=("n", "k", "G"))
+prep = jax.jit(v4._v4_prep, static_argnames=("n", "k", "G", "pallas_max", "interpret"))
 marginal(
-    "prep",
+    "prep (pallas max)",
     lambda d: d * (1.0 + jnp.abs(
         prep(cache.xsh, d, cache.n, cache.k, cache.G)[0][0, 0]
     ).astype(jnp.float64) * 1e-30),
     d0,
 )
-
-# kernel only (fixed prep operands; chain through dhc)
-dhc0, dlc0, ra0, eA0, eD0 = [
-    jax.device_put(x) for x in prep(cache.xsh, d0, cache.n, cache.k, cache.G)
-]
-marginal(
-    "parts (kernel)",
-    lambda dhc: (dhc * (jnp.float32(1.0) + jnp.abs(v4._v4_parts(
-        cache.xsh, cache.xsl, dhc, dlc0, ra0, cache.bstk,
-        cache.k, cache.G)[0, 0, 0]) * jnp.float32(1e-30))).astype(jnp.float32),
-    dhc0,
-)
-
-# combine only
-parts0 = jax.device_put(
-    v4._v4_parts(cache.xsh, cache.xsl, dhc0, dlc0, ra0, cache.bstk, cache.k, cache.G)
-)
-comb = jax.jit(v4._v4_combine, static_argnames=("k", "G"))
-tot0 = jax.device_put(
-    parts0[: v4.S_MAX].astype(jnp.float64) + parts0[v4.S_MAX :].astype(jnp.float64)
-)
-marginal(
-    "combine",
-    lambda tot: tot * (1.0 + jnp.abs(comb(
-        tot, eA0, eD0, cache.exps, cache.k, cache.G)[0, 0]) * 1e-30),
-    tot0,
-)
-
-# tmv routes
-got = v4._tmv_v4_jit(cache.bstk, cache.exps, r0, cache.n, cache.k, cache.G)
-ref = np.asarray(X).T @ np.asarray(r0)
-print("tmv relerr", np.abs(np.asarray(got) - ref).max() / np.abs(ref).max())
 marginal(
     "tmv_from_cache",
     lambda r: r * (1.0 + jnp.abs(v4._tmv_v4_jit(
         cache.bstk, cache.exps, r, cache.n, cache.k, cache.G)[0]) * 1e-30),
     r0,
 )
-
 oz = ozaki.slice_matrix(X)
 marginal(
     "tmv ozaki (old)",
