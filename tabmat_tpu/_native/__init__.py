@@ -61,6 +61,20 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        _walk_args = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32,
+        ]
+        for name in ("csr_matvec_f64", "csc_tmv_f64"):
+            fn = getattr(lib, name, None)
+            if fn is not None:
+                fn.restype = None
+                fn.argtypes = _walk_args
         _lib = lib
         return lib
     except OSError:
@@ -152,6 +166,57 @@ def expand_pairs_csr(indptr: np.ndarray):
         (start + b_local).astype(np.int32),
         row.astype(np.int32),
     )
+
+
+def _sparse_walk(fn_name, data, indices, indptr, n_out, vec, out):
+    """Shared driver for the OpenMP CSR/CSC walks (None → no native lib)."""
+    lib = _load()
+    if lib is None or getattr(lib, fn_name, None) is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    vec = np.ascontiguousarray(vec, dtype=np.float64)
+    accumulate = out is not None
+    res = out if accumulate else np.empty(n_out, dtype=np.float64)
+    getattr(lib, fn_name)(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_out,
+        vec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        res.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        1 if accumulate else 0,
+    )
+    return res
+
+
+def csr_matvec(data, indices, indptr, n_rows, v, out=None):
+    """OpenMP ``A_csr @ v`` (f64). ``out`` accumulates in place.
+
+    Returns None when the native library is unavailable (caller falls
+    back to its scipy path). Host fast path for numpy-caller matvec —
+    counterpart of the reference's per-call C walk
+    (``tabmat/ext/sparse.pyx:129-156``).
+    """
+    if out is not None and (
+        out.dtype != np.float64 or not out.flags["C_CONTIGUOUS"]
+    ):
+        return None
+    return _sparse_walk("csr_matvec_f64", data, indices, indptr, n_rows, v, out)
+
+
+def csc_tmv(data, indices, indptr, n_cols, r, out=None):
+    """OpenMP ``A_csc.T @ r`` (f64). ``out`` accumulates in place.
+
+    Returns None when the native library is unavailable. Counterpart of
+    ``tabmat/ext/sparse.pyx:159-199``.
+    """
+    if out is not None and (
+        out.dtype != np.float64 or not out.flags["C_CONTIGUOUS"]
+    ):
+        return None
+    return _sparse_walk("csc_tmv_f64", data, indices, indptr, n_cols, r, out)
 
 
 def combine_codes(a: np.ndarray, b: np.ndarray, k2: int) -> np.ndarray:

@@ -93,4 +93,44 @@ void expand_pairs_csr_i64(const int64_t* indptr, int64_t n_rows,
   }
 }
 
+
+// OpenMP CSR walk: out[r] (+)= sum_j data[p] * v[col[p]] over row r.
+// Host fast path for numpy-caller sparse matvec below the device
+// crossover (the reference's per-call C walk: tabmat/ext/sparse.pyx:
+// 129-156).  Rows are independent -> parallel for, no contention.
+// accumulate=0 overwrites out, =1 adds into it (the out= contract).
+void csr_matvec_f64(const double* data, const int32_t* indices,
+                    const int64_t* indptr, int64_t n_rows, const double* v,
+                    double* out, int32_t accumulate) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = 0; r < n_rows; ++r) {
+    double acc = 0.0;
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+      acc += data[p] * v[indices[p]];
+    }
+    out[r] = accumulate ? out[r] + acc : acc;
+  }
+}
+
+// OpenMP CSC walk: out[c] (+)= sum over column c of data[p] * r[row[p]].
+// Host fast path for numpy-caller sparse transpose-matvec (columns are
+// independent -> parallel for; counterpart of tabmat/ext/sparse.pyx:
+// 159-199 which parallelizes the same loop).
+void csc_tmv_f64(const double* data, const int32_t* indices,
+                 const int64_t* indptr, int64_t n_cols, const double* r,
+                 double* out, int32_t accumulate) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t c = 0; c < n_cols; ++c) {
+    double acc = 0.0;
+    for (int64_t p = indptr[c]; p < indptr[c + 1]; ++p) {
+      acc += data[p] * r[indices[p]];
+    }
+    out[c] = accumulate ? out[c] + acc : acc;
+  }
+}
+
 }  // extern "C"
