@@ -35,7 +35,7 @@ from .formula import from_formula  # noqa: F401,E402
 from .ops.diag import DiagonalResult  # noqa: F401,E402
 from .glm import GeneralizedLinearRegressor, fit_glm  # noqa: F401,E402
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "DenseMatrix",

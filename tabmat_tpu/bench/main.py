@@ -23,7 +23,7 @@ import click
 import numpy as np
 
 from .generate import get_all_benchmark_matrices
-from .memory import track_peak_mem
+from .memory import hbm_bytes_in_use, track_peak_mem
 
 OPS = ("matvec", "transpose-matvec", "sandwich")
 K1, K2 = 3, 13  # chain lengths for the device marginal differencing
@@ -159,8 +159,17 @@ def run_one_benchmark_set(mat, name, ops, n_iterations, include_baseline, bench_
     rows = []
     for op in ops:
         step, x0 = _get_chain_step(mat, op)
+        hbm_before = hbm_bytes_in_use()
         best = _marginal_device(step, x0)
+        hbm_after = hbm_bytes_in_use()
         row = {"matrix": name, "operation": op, "library": "tabmat_tpu", "time_s": best}
+        if hbm_before is not None and hbm_after is not None:
+            # HBM accounting (the real resource for device-resident ops;
+            # host tracemalloc sees ~5 KB): persistent structural caches
+            # this op built — v4 plane stacks, ozaki slices, sparse
+            # mirrors, window plans — as the delta of live device bytes.
+            row["hbm_cache_bytes"] = hbm_after - hbm_before
+            row["hbm_total_bytes"] = hbm_after
         if bench_memory:
             sync_fn = lambda: _block(step(x0))  # noqa: E731
             row["peak_mem_bytes"] = track_peak_mem(sync_fn)

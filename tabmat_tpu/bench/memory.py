@@ -54,3 +54,24 @@ def device_memory_stats():
         return jax.local_devices()[0].memory_stats()
     except Exception:
         return None
+
+
+def hbm_bytes_in_use():
+    """Device bytes held by live framework arrays (or runtime stats).
+
+    Prefers the runtime's ``memory_stats()`` when the backend exposes it;
+    the axon relay does not, so the fallback sums ``jax.live_arrays()``
+    — every structural cache this library builds (v4 plane stacks, ozaki
+    slices, sparse mirrors, window plans) is a live ``jax.Array``, so
+    this is a faithful census of the library's HBM footprint, excluding
+    only transient scratch inside a single XLA program.
+    """
+    import jax
+
+    stats = device_memory_stats()
+    if stats and "bytes_in_use" in stats:
+        return stats["bytes_in_use"]
+    try:
+        return sum(a.nbytes for a in jax.live_arrays())
+    except Exception:
+        return None

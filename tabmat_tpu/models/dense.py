@@ -345,7 +345,11 @@ class DenseMatrix(MatrixBase):
             if v_eff.ndim == 1:
                 from ..ops import pallas_sandwich_v4
 
-                pc = self._get_plane_cache()
+                # ride the v4 sandwich cache only when it already exists
+                # (GLM loops always sandwich too); a tmv-only caller gets
+                # the cheaper ozaki transpose cache instead of eagerly
+                # paying the full v4 plane-stack HBM build
+                pc = getattr(self, "_plane_cache", None)
                 if isinstance(pc, pallas_sandwich_v4.PlaneCacheV4):
                     # one batched int8 dot over the sandwich cache's
                     # B-stack — reads the only O(n·k) operand once and

@@ -714,6 +714,10 @@ class SparseMatrix(MatrixBase):
             out[cols_np] += res_full[cols_np]
             return out
         else:
+            if rows is not None and not is_full_length(rows, n):
+                # the forward walk has no row filter — fall through to the
+                # device path rather than silently dropping the restriction
+                return None
             v_eff = vec
             if cols is not None and not is_full_length(cols, k):
                 cmask = np.zeros(k, dtype=vec.dtype)
