@@ -75,10 +75,6 @@ def segsum_auto(values, codes_col, num_segments: int):
     if num_segments > ROUTE_W:
         from . import pallas_segsum_bucketed as psb
 
-        if psb.int8_supported(num_segments, values.dtype, n=0):
-            # env-gated int8 twin: halves the S·n·W MXU floor if native
-            # int8 dots issue at the 2× rate (see pallas_int8_sandwich)
-            return psb.segsum_bucketed_int8(values, codes_col, num_segments)
         if psb.supported(num_segments, values.dtype, n=0):
             return psb.segsum_bucketed(values, codes_col, num_segments)
     return segsum(values, codes_col, num_segments)

@@ -214,160 +214,3 @@ def segsum_bucketed(
     )
     out = jnp.einsum("sbw,s->bw", tot, weights).reshape(-1)[:num_segments]
     return (out * exp).astype(in_dtype)
-
-
-# ---------------------------------------------------------------------------
-# int8 variant (env-gated): same hi/lo bucket factorization with the slice
-# planes, one-hots, and the P panel all int8 and an int32 accumulator.
-#
-# Motivation: the bf16 route's MXU contraction is its floor at large W
-# (S·n·W MACs ≈ 8 ms at 1M×100k).  If Mosaic-native int8 dots issue at
-# the hardware's 2× int8 rate (the experiment behind
-# ``pallas_int8_sandwich``; XLA lowers int8 matmuls at the bf16 rate),
-# this halves that floor.  Exactness is *simpler* than the bf16 route:
-# slice integers are |q| ≤ 65 (native-f32 TwoSum carrier extraction —
-# the f32-plane telescoping rounds overshoot to ~130, which would CLAMP
-# in int8), one-hots are 0/1, and every product is an int8×int8 integer
-# accumulated in int32 — exact up to 2^26·65 ≫ any n ≤ MAX_N, with no
-# compensated pair needed; the f64 weighting runs outside on exact int32.
-# ---------------------------------------------------------------------------
-
-N_SLICES_I8 = 7  # 7·7 = 49 ≥ the platform's 48-bit f64 pair
-
-
-def int8_supported(num_segments: int, dtype=jnp.float64, n: int = 0) -> bool:
-    import os
-
-    if os.environ.get("TABMAT_TPU_WIDE_MOSAIC", "0") != "1":
-        return False
-    return supported(num_segments, dtype, n)
-
-
-def _slice_vec_int8_global(values: jax.Array, n_pad: int):
-    """(S, n_pad) int8 slice planes of a f64/f32 vector, one global scale.
-
-    Native-f32 TwoSum carrier chain (the ``sparse_wide`` extraction): each
-    round's quotient is exactly representable and |q| ≤ 65 — int8-safe.
-    """
-    from .ozaki import T7
-
-    n_slices = 4 if values.dtype == jnp.float32 else N_SLICES_I8
-    m = jnp.max(jnp.abs(values))
-    e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-300))) + 1.0
-    z = values * jnp.exp2(-e)
-    hi = z.astype(jnp.float32)
-    lo = (z - hi.astype(values.dtype)).astype(jnp.float32)
-    qs = []
-    for p in range(n_slices):
-        s_p = jnp.float32(1 << ((p + 1) * T7))
-        w_p = jnp.float32(0.5 ** ((p + 1) * T7))
-        qp = jnp.round(hi * s_p)
-        hi = hi - qp * w_p
-        s = hi + lo
-        bb = s - hi
-        lo = (hi - (s - bb)) + (lo - bb)
-        hi = s
-        qs.append(qp.astype(jnp.int8))
-    q = jnp.stack(qs)
-    return jnp.pad(q, ((0, 0), (0, n_pad - values.shape[0]))), jnp.exp2(e), n_slices
-
-
-def _segsum_bucketed_kernel_i8(crow_ref, q_ref, o_ref, *, shift, wb, b_pad):
-    i = pl.program_id(0)
-    n_s = q_ref.shape[0]
-
-    @pl.when(i == 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
-
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (wb, BTILE), 0)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (b_pad, BTILE), 0)
-    iota_sel = jax.lax.broadcasted_iota(jnp.int32, (SUPER, BTILE), 0)
-
-    def body(j, acc):
-        halves = TILE // BTILE
-        r = j // jnp.int32(halves)
-        h = j % jnp.int32(halves)
-        sel = iota_sel == r
-        seg = jnp.where(
-            sel, crow_ref[:, pl.ds(h * BTILE, BTILE)], jnp.int32(0)
-        )
-        crow_j = jnp.sum(seg, axis=0, keepdims=True, dtype=jnp.int32)
-        lo = crow_j & (wb - 1)
-        Lt = (lo == iota_l).astype(jnp.int8)
-        hi = crow_j >> shift
-        H = (hi == iota_h).astype(jnp.int8)
-        q = q_ref[:, pl.ds(j * BTILE, BTILE)]  # (S, BTILE) int8 slices
-        P = (q[:, None, :] * H[None, :, :]).reshape(n_s * b_pad, BTILE)
-        return acc + jax.lax.dot_general(
-            P,
-            Lt,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-
-    n_inner = SUPER * (TILE // BTILE)
-    zeros = jnp.zeros((n_s * b_pad, wb), jnp.int32)
-    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_inner), body, zeros)
-    o_ref[...] = o_ref[...] + acc
-
-
-@partial(jax.jit, static_argnames=("wb", "b_pad", "interpret"))
-def _segsum_bucketed_parts_i8(q, codes_col, wb, b_pad, interpret=False):
-    n_s, n_sup = q.shape
-    n_super = n_sup // (SUPER * TILE)
-    codes_row = codes_col.reshape(n_super * SUPER, TILE)
-    shift = int(wb).bit_length() - 1
-    kernel = partial(
-        _segsum_bucketed_kernel_i8, shift=shift, wb=wb, b_pad=b_pad
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_super,),
-        in_specs=[
-            pl.BlockSpec(
-                (SUPER, TILE), lambda i: (i, i * 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (n_s, SUPER * TILE),
-                lambda i: (i * 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_s * b_pad, wb),
-            lambda i: (i * 0, i * 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_s * b_pad, wb), jnp.int32),
-        interpret=interpret,
-    )(codes_row, q)
-
-
-@partial(jax.jit, static_argnames=("num_segments", "wb", "interpret"))
-def segsum_bucketed_int8(
-    values: jax.Array,
-    codes_col: jax.Array,
-    num_segments: int,
-    wb: int = WB,
-    interpret: bool = False,
-) -> jax.Array:
-    """Exact segment-sum over a wide code space on int8 MXU planes.
-
-    Drop-in twin of :func:`segsum_bucketed`; int32 partials are exact
-    integers so the outside combine is a plain weighted f64 sum.
-    """
-    in_dtype = values.dtype
-    n_pad = codes_col.shape[0]
-    n_sup = -(-n_pad // (SUPER * TILE)) * (SUPER * TILE)
-    q, exp, n_slices = _slice_vec_int8_global(values, n_sup)
-    ccol = jnp.pad(codes_col, ((0, n_sup - n_pad), (0, 0)), constant_values=-1)
-    b_pad = -(-(-(-num_segments // wb)) // 8) * 8
-    parts = _segsum_bucketed_parts_i8(q, ccol, wb, b_pad, interpret=interpret)
-    tot = parts.astype(jnp.float64).reshape(n_slices, b_pad, wb)
-    weights = jnp.asarray(
-        [0.5 ** ((p + 1) * ozaki.T7) for p in range(n_slices)],
-        dtype=jnp.float64,
-    )
-    out = jnp.einsum("sbw,s->bw", tot, weights).reshape(-1)[:num_segments]
-    return (out * exp).astype(in_dtype)

@@ -199,20 +199,6 @@ def _sym_sandwich(plan: WideSandwichPlan, sqrt_d: jax.Array) -> jax.Array:
         # arithmetic shifts sign-extend the byte lane
         planes.append(((w << (24 - sh)) >> 24).astype(jnp.int8))
 
-    # Mosaic grid-accumulate route (env-gated, TABMAT_TPU_WIDE_MOSAIC=1):
-    # one kernel walk over the stacked planes, int32 pair-accumulators in
-    # VMEM, exact f32-pair flush — no (k, k) int32 partials in HBM
-    from . import pallas_int8_sandwich as pi8
-
-    if pi8.supported(n, k):
-        n_pad = -(-n // pi8.TK) * pi8.TK
-        k_pad = -(-k // pi8.TI) * pi8.TI
-        P = jnp.stack(planes)
-        P = jnp.pad(P, [(0, 0), (0, n_pad - n), (0, k_pad - k)])
-        parts = pi8.int8_pair_sandwich(P, tuple(SYM_PAIRS))
-        S = pi8.combine_symmetric(parts, k)
-        return S * (scale[:, None] * scale[None, :])
-
     # Σ over symmetric slice pairs, row-chunked to keep int32 exact
     n_chunks = -(-n // ROW_CHUNK)
     S = jnp.zeros((k, k), dtype=jnp.float64)

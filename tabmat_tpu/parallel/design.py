@@ -299,7 +299,7 @@ class DeviceDesign:
             inner.mult = None if mat.mult is None else jnp.asarray(mat.mult)
             return inner
 
-        def block_of(m, positions) -> _Block:
+        def block_of(m, positions, allow_mirror: bool = True) -> _Block:
             if isinstance(m, DenseMatrix):
                 arrays = {"X": m.unpack()}
                 # structural Ozaki slice caches ride along as pytree leaves:

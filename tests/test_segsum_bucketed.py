@@ -60,42 +60,3 @@ def test_empty_segments_and_all_missing_tile():
         )
     )
     np.testing.assert_allclose(got, ref, atol=1e-12)
-
-
-@pytest.mark.parametrize("n,W", [(5000, 3000), (20000, 100000)])
-def test_bucketed_int8_matches_scatter_oracle(n, W):
-    # int8 twin (env-gated on TPU; exercised directly here): |q| <= 65
-    # TwoSum-carrier slices, int32 MXU accumulation, exact f64 combine
-    rng = np.random.default_rng(3)
-    codes = rng.integers(0, W, n).astype(np.int32)
-    codes[rng.choice(n, max(n // 50, 1), replace=False)] = -1
-    v = rng.standard_normal(n) * np.exp(rng.standard_normal(n) * 3)
-    ref = np.zeros(W)
-    np.add.at(ref, codes[codes >= 0], v[codes >= 0])
-    got = np.asarray(
-        psb.segsum_bucketed_int8(
-            jnp.asarray(v), jnp.asarray(build_codes_col(codes)), W,
-            interpret=True,
-        )
-    )
-    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-300)
-    assert err < 1e-13
-
-
-def test_bucketed_int8_slice_bound():
-    # the carrier extraction must stay inside int8 for adversarial values
-    from tabmat_tpu.ops.pallas_segsum_bucketed import _slice_vec_int8_global
-
-    rng = np.random.default_rng(4)
-    v = rng.standard_normal(4096) * np.exp(rng.uniform(-30, 30, 4096))
-    q, exp, n_s = _slice_vec_int8_global(jnp.asarray(v), 4096)
-    q = np.asarray(q, dtype=np.int64)
-    assert np.abs(q).max() <= 65
-    # reconstruction: sum_p q_p 2^-(p+1)*7 * exp == v to 49 bits
-    recon = np.zeros(4096)
-    for p in range(n_s):
-        recon += q[p] * 0.5 ** ((p + 1) * 7)
-    recon *= float(exp)
-    # 49-bit slice coverage below the global max, carrier truncation ~1 ulp:
-    # the platform f64 pair itself carries 48 bits
-    assert np.abs(recon - v).max() <= np.abs(v).max() * 2.0**-47
