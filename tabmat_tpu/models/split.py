@@ -336,29 +336,64 @@ class SplitMatrix(MatrixBase):
     def _device_sandwich_ok(self) -> bool:
         """True when the fused device-side sandwich assembly covers this mix.
 
-        The DeviceDesign assembly handles one dense block plus any number of
-        categorical blocks whose pairwise cross plans are bounded
-        (``w_i·w_j ≤ 2^24`` combined codes).  Sparse blocks keep the
-        per-block host assembly for now.
+        The DeviceDesign unit grid covers one dense block, one sparse
+        block, and any number of categorical blocks whose pairwise plans
+        are bounded (cat×cat and cat×sparse combined codes ≤ 2^24, sparse
+        pair expansion within the SparseMatrix budgets).  This is a cheap
+        static screen — the built design's ``supports_sandwich`` stays
+        authoritative.
         """
+        from ..ops.ozaki import cache_worthwhile
+        from ..parallel.design import DeviceDesign, SPARSE_CAT_MAX_SEGMENTS
         from .categorical import CategoricalMatrix
+        from .sparse import (
+            DENSE_SANDWICH_MAX_COLS,
+            DENSE_SANDWICH_MAX_ELEMENTS,
+            PAIR_SANDWICH_MAX_PAIRS,
+            PAIR_SANDWICH_MAX_SEGMENTS,
+            SparseMatrix,
+        )
 
+        if self.shape[1] > DeviceDesign.SANDWICH_MAX_COLS:
+            return False
         cat_widths = []
+        sparse_mats = []
         n_dense = 0
         for m in self.matrices:
             if isinstance(m, CategoricalMatrix):
                 cat_widths.append(m.shape[1])
             elif isinstance(m, DenseMatrix):
                 n_dense += 1
+            elif isinstance(m, SparseMatrix):
+                sparse_mats.append(m)
             else:
                 return False
-        if n_dense > 1:
+        if n_dense > 1 or len(sparse_mats) > 1:
             return False
-        return all(
+        for m in sparse_mats:
+            n, ks = m.shape
+            if n_dense == 0 and (
+                cache_worthwhile(
+                    n, ks, m.dtype, m._MIRROR_OZAKI_MAX_ELEMENTS
+                )
+                and ks <= DENSE_SANDWICH_MAX_COLS
+                and n * ks <= DENSE_SANDWICH_MAX_ELEMENTS
+            ):
+                continue  # densifies into the design's single dense unit
+            counts = np.bincount(m._array.indices, minlength=n)
+            if int((counts.astype(np.int64) ** 2).sum()) > PAIR_SANDWICH_MAX_PAIRS:
+                return False
+            if ks * ks > PAIR_SANDWICH_MAX_SEGMENTS:
+                return False
+            if any(w * ks > SPARSE_CAT_MAX_SEGMENTS for w in cat_widths):
+                return False
+        if not all(
             w1 * w2 <= (1 << 24)
             for a, w1 in enumerate(cat_widths)
             for w2 in cat_widths[a + 1 :]
-        )
+        ):
+            return False
+        return self._get_device_design().supports_sandwich
 
     def __getstate__(self):
         state = self.__dict__.copy()

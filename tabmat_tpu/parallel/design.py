@@ -133,6 +133,47 @@ def _stack_categoricals(cat_pairs, n_rows: int) -> _Block:
     )
 
 
+# sparse×cat cross plans past this many combined segments are skipped
+# (the bounds array alone is 8 bytes/segment; same cap as cat×cat)
+SPARSE_CAT_MAX_SEGMENTS = 1 << 24
+
+
+def _attach_sparse_cat_plans(block: _Block, m, cat_units) -> None:
+    """Structural sparse×categorical cross-sandwich plans onto ``block``.
+
+    For cat unit ``ci`` the cross block is ``out[c, j] = Σ_{nnz (r, j)}
+    data · w[r]`` over rows with ``code[r] == c`` — one bounded segment
+    sum over the nnz keyed by ``code·k_s + col`` (invalid codes land in a
+    sentinel tail segment that the stored bounds exclude).  Everything but
+    the ``w`` gather is pre-sorted at build time, mirroring the
+    pair-expansion sandwich plan (reference cross walker:
+    ``tabmat/ext/split.pyx`` cat×sparse path).
+    """
+    from .. import _native
+
+    csc = m._array
+    ks = m.shape[1]
+    counts = np.diff(csc.indptr)
+    cols = np.repeat(np.arange(ks, dtype=np.int64), counts)
+    rows = np.asarray(csc.indices)
+    for ci, (codes, wc) in enumerate(cat_units):
+        n_seg = wc * ks
+        if n_seg > SPARSE_CAT_MAX_SEGMENTS:
+            continue
+        c = codes[rows].astype(np.int64)
+        key = np.where(c >= 0, c * ks + cols, n_seg)
+        perm, bounds = _native.counting_argsort(
+            key.astype(np.int32), n_seg + 1
+        )
+        block.arrays[f"xs{ci}_prod"] = jnp.asarray(np.asarray(csc.data)[perm])
+        block.arrays[f"xs{ci}_rows"] = jnp.asarray(
+            rows[perm].astype(np.int32, copy=False)
+        )
+        block.arrays[f"xs{ci}_bounds"] = jnp.asarray(
+            np.asarray(bounds[: n_seg + 1], dtype=np.int64)
+        )
+
+
 class DeviceDesign:
     """A traceable linear operator assembled from matrix blocks."""
 
@@ -328,7 +369,7 @@ class DeviceDesign:
                         meta = ("pln_packed", pc.n, pc.k, pc.G)
                 return _Block("dense", arrays, m.shape[1], positions, meta)
             if isinstance(m, SparseMatrix):
-                mirror = m._mirror_ozaki_caches()
+                mirror = m._mirror_ozaki_caches() if allow_mirror else None
                 if mirror is not None:
                     # narrow sparse rides the MXU as its exact dense mirror
                     QX, eX, QXT, eXT = mirror
@@ -372,6 +413,11 @@ class DeviceDesign:
                         arrays["csc_bws"] = jnp.asarray(cplan.ws)
                         wc = cplan.window
                     meta = (wr, wc)
+                # pair-expansion plan for the explicit design sandwich
+                # (None when over budget — supports_sandwich then gates)
+                pp = m._pair_sandwich_parts()
+                if pp is not None:
+                    arrays["pp_prod"], arrays["pp_rows"], arrays["pp_bounds"] = pp
                 return _Block(
                     "sparse",
                     arrays,
@@ -397,11 +443,32 @@ class DeviceDesign:
             other_pairs = [
                 (m, i) for m, i in pairs if not isinstance(m, CategoricalMatrix)
             ]
-            blocks = [block_of(m, idx) for m, idx in other_pairs]
+            # a sparse block only densifies into a mirror when it would be
+            # the design's ONE dense unit; next to a real dense block it
+            # stays sparse-kind (pair/cross segment plans, no second MXU
+            # operand) so the explicit sandwich grid covers the mix
+            has_dense = any(isinstance(m, DenseMatrix) for m, _ in other_pairs)
+            blocks = []
+            sparse_kind = []  # (block, matrix) needing cat cross plans
+            for m, idx in other_pairs:
+                b = block_of(
+                    m,
+                    idx,
+                    allow_mirror=not (has_dense and isinstance(m, SparseMatrix)),
+                )
+                if b.kind == "sparse":
+                    sparse_kind.append((b, m))
+                blocks.append(b)
             if len(cat_pairs) > 1:
                 blocks.append(_stack_categoricals(cat_pairs, mat.shape[0]))
             else:
                 blocks.extend(block_of(m, idx) for m, idx in cat_pairs)
+            if sparse_kind and cat_pairs:
+                cat_units = [
+                    (m._eff_codes_np, m.shape[1]) for m, _ in cat_pairs
+                ]
+                for b, m in sparse_kind:
+                    _attach_sparse_cat_plans(b, m, cat_units)
             return cls(blocks, mat.shape[0], mat.shape[1])
         blocks = [block_of(mat, np.arange(mat.shape[1]))]
         return cls(blocks, mat.shape[0], mat.shape[1])
@@ -544,10 +611,22 @@ class DeviceDesign:
         if self.shift is not None or self.mult is not None:
             return False  # standardized designs use the hvp path
         kinds = {b.kind for b in self.blocks}
-        if not kinds <= {"dense", "cat", "catstack"}:
+        if not kinds <= {"dense", "cat", "catstack", "sparse"}:
             return False
         if sum(b.kind == "dense" for b in self.blocks) > 1:
             return False  # explicit assembly assumes a single dense block
+        sparse_blocks = [b for b in self.blocks if b.kind == "sparse"]
+        if len(sparse_blocks) > 1:
+            return False  # no sparse×sparse cross plan between distinct blocks
+        n_cat_units = sum(
+            1 if b.kind == "cat" else len(b.meta[0]) if b.kind == "catstack" else 0
+            for b in self.blocks
+        )
+        for b in sparse_blocks:
+            if "pp_prod" not in b.arrays:
+                return False  # pair-expansion plan over budget
+            if any(f"xs{ci}_prod" not in b.arrays for ci in range(n_cat_units)):
+                return False  # a sparse×cat cross plan is missing
         for b in self.blocks:
             if b.kind == "catstack":
                 widths = b.meta[0]
@@ -561,50 +640,68 @@ class DeviceDesign:
         """Explicit ``Xᵀ diag(w) X`` → (k, k), one traceable expression.
 
         The classic GLM pattern the reference library exists for
-        (``tabmat/split_matrix.py:324-356``), fused on device: per-block
+        (``tabmat/split_matrix.py:324-356``), fused on device: per-unit
         diagonal blocks, pairwise cross blocks via segment reductions, and
-        scatter-free assembly with the global column gather map.
+        scatter-free assembly with the global column gather map.  Units are
+        the blocks with categorical stacks expanded per sub-cat; the grid
+        covers dense×sparse×categorical mixes (the primary ``from_df``
+        output shape) in one traceable program with no host assembly.
         """
-        from ..ops import dense_ops
+        from ..ops import dense_ops, pallas_segsum, sparse_ops
 
         def seg_sum(perm, starts, ends, vals):
             csum = jnp.cumsum(jnp.take(vals, perm))
             p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
             return jnp.take(p, ends) - jnp.take(p, starts)
 
+        def bounded(vals, bounds):
+            csum = jnp.cumsum(vals)
+            p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+            return jnp.take(p, bounds[1:]) - jnp.take(p, bounds[:-1])
+
         n = self.shape[0]
-        dense_blocks = [b for b in self.blocks if b.kind == "dense"]
-        # (perm, starts, ends, width, block, codes_col) per cat, concat order
-        cat_info = []
-        cross = {}
+        w_seg_ok = w.dtype in (jnp.float32, jnp.float64)
+
+        # --- expand blocks into units (unit order == column concat order).
+        # cat info = (perm, starts, ends, width, ccol, ci) with ci the
+        # global cat ordinal keying the sparse blocks' xs{ci}_* cross plans
+        units = []
+        cross = {}  # (unit_i, unit_j) -> same-stack cat×cat plan
+        ci_counter = 0
         for b in self.blocks:
-            if b.kind == "cat":
+            if b.kind == "dense":
+                units.append(("dense", b, None))
+            elif b.kind == "sparse":
+                units.append(("sparse", b, None))
+            elif b.kind == "cat":
                 bounds = b.arrays["bounds"]
-                cat_info.append(
-                    (b.arrays["perm"], bounds[:-1], bounds[1:], b.width, b,
-                     b.arrays.get("ccol_0"))
+                units.append(
+                    ("cat", b,
+                     (b.arrays["perm"], bounds[:-1], bounds[1:], b.width,
+                      b.arrays.get("ccol_0"), ci_counter))
                 )
-            elif b.kind == "catstack":
+                ci_counter += 1
+            else:  # catstack
                 widths, xwins = b.meta
                 xwin_map = {(a_, c_): w_ for a_, c_, w_ in xwins}
+                base = len(units)
                 off_flat = 0
                 start_off = 0
                 for ci, wc in enumerate(widths):
                     # the stored starts/ends carry the flat c·n stream offset
                     # (for the stacked tmv); remove it for per-cat use
-                    cat_info.append(
-                        (
-                            b.arrays["perm"][off_flat : off_flat + n],
-                            b.arrays["starts"][start_off : start_off + wc] - off_flat,
-                            b.arrays["ends"][start_off : start_off + wc] - off_flat,
-                            wc,
-                            b,
-                            b.arrays.get(f"ccol_{ci}"),
-                        )
+                    units.append(
+                        ("cat", b,
+                         (b.arrays["perm"][off_flat : off_flat + n],
+                          b.arrays["starts"][start_off : start_off + wc] - off_flat,
+                          b.arrays["ends"][start_off : start_off + wc] - off_flat,
+                          wc,
+                          b.arrays.get(f"ccol_{ci}"),
+                          ci_counter))
                     )
+                    ci_counter += 1
                     off_flat += n
                     start_off += wc
-                base = len(cat_info) - len(widths)
                 for a in range(len(widths)):
                     for c in range(a + 1, len(widths)):
                         cross[(base + a, base + c)] = (
@@ -616,123 +713,161 @@ class DeviceDesign:
                             xwin_map.get((a, c)),
                         )
 
-        Xd = dense_blocks[0].arrays["X"] if dense_blocks else None
+        # --- shared dense precompute -------------------------------------
+        dense_units = [i for i, u in enumerate(units) if u[0] == "dense"]
+        Xd = units[dense_units[0]][1].arrays["X"] if dense_units else None
         kd = Xd.shape[1] if Xd is not None else 0
         wXd = Xd * w[:, None] if Xd is not None else None
 
-        rows = []
-        if Xd is not None:
-            da = dense_blocks[0].arrays
+        # --- per-cell computations ---------------------------------------
+
+        def dense_diag(b):
+            da = b.arrays
             if "pln_xsh" in da and Xd.dtype == jnp.float64:
                 from ..ops import pallas_sandwich_v3
 
-                dmeta = dense_blocks[0].meta
+                dmeta = b.meta
                 if dmeta and dmeta[0] == "pln_v4":
                     from ..ops import pallas_sandwich_v4
 
                     _, pn, pk, pG = dmeta
-                    S_dd = pallas_sandwich_v4._sandwich_v4_jit(
+                    return pallas_sandwich_v4._sandwich_v4_jit(
                         da["pln_xsh"], da["pln_xsl"], da["pln_bstk"],
                         da["pln_exps"], w, pn, pk, pG,
                     )
-                elif dmeta and dmeta[0] == "pln_packed":
+                if dmeta and dmeta[0] == "pln_packed":
                     _, pn, pk, pG = dmeta
-                    S_dd = pallas_sandwich_v3._sandwich_v3_packed_jit(
+                    return pallas_sandwich_v3._sandwich_v3_packed_jit(
                         da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w,
                         pn, pk, pG,
                     )
-                else:
-                    S_dd = pallas_sandwich_v3.sandwich_v3(
-                        da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w
-                    )
-            elif "ozk_QX" in da and Xd.dtype == jnp.float64:
+                return pallas_sandwich_v3.sandwich_v3(
+                    da["pln_xsh"], da["pln_xsl"], da["pln_exps"], w
+                )
+            if "ozk_QX" in da and Xd.dtype == jnp.float64:
                 from ..ops import ozaki
 
-                S_dd = ozaki.sandwich_cached(Xd, w, (da["ozk_QX"], da["ozk_eX"]))
-            elif Xd.dtype == jnp.float64 and n > dense_ops._F64_CHUNK:
-                S_dd = dense_ops._sandwich_f64_chunked(Xd, w)
+                return ozaki.sandwich_cached(Xd, w, (da["ozk_QX"], da["ozk_eX"]))
+            if Xd.dtype == jnp.float64 and n > dense_ops._F64_CHUNK:
+                return dense_ops._sandwich_f64_chunked(Xd, w)
+            return dense_ops._sandwich_jnp(Xd, w)
+
+        def cat_diag(info):
+            perm, starts, ends, wc, ccol, _ = info
+            if ccol is not None and w_seg_ok:
+                diag = pallas_segsum.segsum_auto(w, ccol, wc)
             else:
-                S_dd = dense_ops._sandwich_jnp(Xd, w)
-            cross_dc = []
-            for perm, starts, ends, wc, b, ccol in cat_info:
-                # cat×dense: segment-sum of w-scaled dense rows
-                if (
-                    ccol is not None
-                    and wXd.dtype in (jnp.float32, jnp.float64)
-                    and kd * 7 <= 128
-                ):
-                    from ..ops import pallas_segsum
+                diag = seg_sum(perm, starts, ends, w)
+            return jnp.diag(diag)
 
-                    M = pallas_segsum.segsum_2d(wXd, ccol, wc)
-                else:
-                    g = jnp.take(wXd, perm, axis=0)
-                    csum = jnp.cumsum(g, axis=0)
-                    p = jnp.concatenate(
-                        [jnp.zeros((1, kd), csum.dtype), csum], axis=0
-                    )
-                    M = jnp.take(p, ends, axis=0) - jnp.take(p, starts, axis=0)
-                cross_dc.append(M)  # (wc, kd)
-            top = (
-                jnp.concatenate([S_dd] + [M.T for M in cross_dc], axis=1)
-                if cross_dc
-                else S_dd
+        def sparse_diag(b):
+            a = b.arrays
+            flat = bounded(
+                a["pp_prod"] * jnp.take(w, a["pp_rows"]), a["pp_bounds"]
             )
-            rows.append(top)
-        else:
-            cross_dc = []
+            return flat.reshape(b.width, b.width)
 
-        from ..ops import pallas_segsum
+        def dense_cat_cell(info):
+            """(wc, kd) cat×dense cross: segment-sum of w-scaled dense rows."""
+            perm, starts, ends, wc, ccol, _ = info
+            if (
+                ccol is not None
+                and wXd.dtype in (jnp.float32, jnp.float64)
+                and kd * 7 <= 128
+            ):
+                return pallas_segsum.segsum_2d(wXd, ccol, wc)
+            g = jnp.take(wXd, perm, axis=0)
+            csum = jnp.cumsum(g, axis=0)
+            p = jnp.concatenate([jnp.zeros((1, kd), csum.dtype), csum], axis=0)
+            return jnp.take(p, ends, axis=0) - jnp.take(p, starts, axis=0)
 
-        w_seg_ok = w.dtype in (jnp.float32, jnp.float64)
-        for i, (perm_i, starts_i, ends_i, wi, _, ccol_i) in enumerate(cat_info):
-            row_parts = []
-            if Xd is not None:
-                row_parts.append(cross_dc[i])
-            for j, (perm_j, starts_j, ends_j, wj, _, _ccj) in enumerate(cat_info):
+        def sparse_dense_cell(b):
+            """(ks, kd) sparse×dense cross — CSC gather + bounded segsum."""
+            a = b.arrays
+            return sparse_ops.csc_cross_dense(
+                a["csc_data"], a["csc_rows"], a["csc_bounds"], w, Xd
+            )
+
+        def sparse_cat_cell(b, info):
+            """(wc, ks) cat×sparse cross from the combined-key nnz plan."""
+            wc, ci = info[3], info[5]
+            a = b.arrays
+            vals = a[f"xs{ci}_prod"] * jnp.take(w, a[f"xs{ci}_rows"])
+            flat = bounded(vals, a[f"xs{ci}_bounds"])
+            return flat.reshape(wc, b.width)
+
+        def cat_cat_cell(i, j, info_i, info_j):
+            """(wi, wj) for same-stack cat units i < j."""
+            if (i, j) not in cross:
+                raise NotImplementedError("missing cross plan")
+            wi, wj = info_i[3], info_j[3]
+            xperm, xbounds, xccol, xbcodes, xbws, xwin = cross[(i, j)]
+            if xccol is not None and w_seg_ok:
+                flat = pallas_segsum.segsum_auto(w, xccol, wi * wj)
+            elif xbcodes is not None and w_seg_ok:
+                # wide cross: windowed monotone take at the sorted
+                # (wi·wj+1,) bounds replaces two element-serial XLA takes
+                from ..ops import pallas_window_take as pwt
+
+                csum = jnp.cumsum(jnp.take(w, xperm))
+                p = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum])
+                take = pwt._take_f64 if p.dtype == jnp.float64 else pwt._take_f32
+                bvals = take(p, xbcodes, xbws, wi * wj + 1, xwin)
+                flat = bvals[1:] - bvals[:-1]
+            else:
+                flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)
+            return flat.reshape(wi, wj)
+
+        # --- assemble the unit grid (upper triangle computed, mirrored) --
+        m_units = len(units)
+        cells = [[None] * m_units for _ in range(m_units)]
+        for i, (kind_i, b_i, info_i) in enumerate(units):
+            for j in range(i, m_units):
+                kind_j, b_j, info_j = units[j]
                 if i == j:
-                    if ccol_i is not None and w_seg_ok:
-                        diag = pallas_segsum.segsum_auto(w, ccol_i, wi)
+                    if kind_i == "dense":
+                        cells[i][i] = dense_diag(b_i)
+                    elif kind_i == "sparse":
+                        cells[i][i] = sparse_diag(b_i)
                     else:
-                        diag = seg_sum(perm_i, starts_i, ends_i, w)
-                    row_parts.append(jnp.diag(diag))
-                elif (min(i, j), max(i, j)) in cross:
-                    xperm, xbounds, xccol, xbcodes, xbws, xwin = cross[
-                        (min(i, j), max(i, j))
-                    ]
-                    if xccol is not None and w_seg_ok:
-                        flat = pallas_segsum.segsum_auto(w, xccol, wi * wj)
-                    elif xbcodes is not None and w_seg_ok:
-                        # wide cross: windowed monotone take at the sorted
-                        # (wi·wj+1,) bounds replaces two element-serial
-                        # XLA takes (~13 ns/idx — 26 ms at 1M² cells)
-                        from ..ops import pallas_window_take as pwt
-
-                        csum = jnp.cumsum(jnp.take(w, xperm))
-                        p = jnp.concatenate(
-                            [jnp.zeros((1,), csum.dtype), csum]
-                        )
-                        take = (
-                            pwt._take_f64
-                            if p.dtype == jnp.float64
-                            else pwt._take_f32
-                        )
-                        bvals = take(p, xbcodes, xbws, wi * wj + 1, xwin)
-                        flat = bvals[1:] - bvals[:-1]
-                    else:
-                        flat = seg_sum(xperm, xbounds[:-1], xbounds[1:], w)
-                    if i < j:
-                        row_parts.append(flat.reshape(wi, wj))
-                    else:
-                        row_parts.append(flat.reshape(wj, wi).T)
+                        cells[i][i] = cat_diag(info_i)
+                elif (kind_i, kind_j) == ("dense", "cat"):
+                    M = dense_cat_cell(info_j)  # (wc, kd)
+                    cells[i][j], cells[j][i] = M.T, M
+                elif (kind_i, kind_j) == ("cat", "dense"):
+                    M = dense_cat_cell(info_i)
+                    cells[i][j], cells[j][i] = M, M.T
+                elif (kind_i, kind_j) == ("dense", "sparse"):
+                    M = sparse_dense_cell(b_j)  # (ks, kd)
+                    cells[i][j], cells[j][i] = M.T, M
+                elif (kind_i, kind_j) == ("sparse", "dense"):
+                    M = sparse_dense_cell(b_i)
+                    cells[i][j], cells[j][i] = M, M.T
+                elif (kind_i, kind_j) == ("sparse", "cat"):
+                    M = sparse_cat_cell(b_i, info_j)  # (wc, ks)
+                    cells[i][j], cells[j][i] = M.T, M
+                elif (kind_i, kind_j) == ("cat", "sparse"):
+                    M = sparse_cat_cell(b_j, info_i)
+                    cells[i][j], cells[j][i] = M, M.T
+                elif (kind_i, kind_j) == ("cat", "cat"):
+                    M = cat_cat_cell(i, j, info_i, info_j)
+                    cells[i][j], cells[j][i] = M, M.T
                 else:
-                    raise NotImplementedError("missing cross plan")
-            rows.append(jnp.concatenate(row_parts, axis=1))
+                    raise NotImplementedError(
+                        f"sandwich cell {(kind_i, kind_j)}"
+                    )
 
-        H_concat = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+        if m_units == 1:
+            H_concat = cells[0][0]
+        else:
+            H_concat = jnp.concatenate(
+                [jnp.concatenate(r, axis=1) for r in cells], axis=0
+            )
         if self._identity_order:
             return H_concat
         gidx = self._index_map
         return jnp.take(jnp.take(H_concat, gidx, axis=0), gidx, axis=1)
+
 
     # operator sugar so glm.irls_step works unchanged
     def __matmul__(self, v):

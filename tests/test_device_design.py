@@ -179,10 +179,62 @@ def test_design_sandwich_single_cat():
     )
 
 
-def test_design_sandwich_not_supported_with_sparse():
-    mat = make_split()  # contains a sparse block
+def test_design_sandwich_with_sparse_block():
+    """dense+sparse+cat mix: the sparse arms of the unit grid are exact."""
+    mat = make_split()  # dense + sparse + cat, interleaved global columns
     design = DeviceDesign.from_matrix(mat)
-    assert not design.supports_sandwich
+    assert design.supports_sandwich
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.random(mat.shape[0]))
+    arr = mat.toarray()
+    ref = (arr * np.asarray(w)[:, None]).T @ arr
+    np.testing.assert_allclose(np.asarray(design.sandwich(w)), ref, atol=1e-11)
+    H2 = np.asarray(jax.jit(lambda d, wt: d.sandwich(wt))(design, w))
+    np.testing.assert_allclose(H2, ref, atol=1e-11)
+
+
+def test_design_sandwich_sparse_two_cats_drop_first():
+    """sparse×cat cross plans with negative (dropped) codes stay exact."""
+    rng = np.random.default_rng(43)
+    n = 200
+    mat = tm.SplitMatrix(
+        [
+            tm.DenseMatrix(rng.standard_normal((n, 2))),
+            tm.SparseMatrix(sps.random(n, 5, density=0.15, random_state=1)),
+            tm.CategoricalMatrix(rng.integers(0, 6, n), categories=np.arange(6)),
+            tm.CategoricalMatrix(
+                rng.integers(0, 4, n), categories=np.arange(4), drop_first=True
+            ),
+        ]
+    )
+    design = DeviceDesign.from_matrix(mat)
+    assert design.supports_sandwich
+    w = jnp.asarray(rng.random(n))
+    arr = mat.toarray()
+    ref = (arr * np.asarray(w)[:, None]).T @ arr
+    np.testing.assert_allclose(np.asarray(design.sandwich(w)), ref, atol=1e-11)
+
+
+def test_design_sandwich_sparse_cat_no_dense(monkeypatch):
+    """A sparse block past the mirror budget stays sparse-kind and sandwiches."""
+    from tabmat_tpu.models.sparse import SparseMatrix
+
+    monkeypatch.setattr(SparseMatrix, "_MIRROR_OZAKI_MAX_ELEMENTS", 0)
+    rng = np.random.default_rng(44)
+    n = 150
+    mat = tm.SplitMatrix(
+        [
+            tm.SparseMatrix(sps.random(n, 6, density=0.2, random_state=2)),
+            tm.CategoricalMatrix(rng.integers(0, 5, n), categories=np.arange(5)),
+        ]
+    )
+    design = DeviceDesign.from_matrix(mat)
+    assert any(b.kind == "sparse" for b in design.blocks)
+    assert design.supports_sandwich
+    w = jnp.asarray(rng.random(n))
+    arr = mat.toarray()
+    ref = (arr * np.asarray(w)[:, None]).T @ arr
+    np.testing.assert_allclose(np.asarray(design.sandwich(w)), ref, atol=1e-11)
 
 
 def test_irls_explicit_h_matches_hvp_path():
