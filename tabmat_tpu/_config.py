@@ -15,10 +15,80 @@ Opt out with ``TABMAT_TPU_NO_COMPILATION_CACHE=1`` or redirect with
 """
 
 import os
+import threading
+import weakref
 
 import jax
 
 _initialized = False
+
+# ---------------------------------------------------------------------------
+# Global structural-cache budget (HBM).
+#
+# Every matrix class builds device-resident structural caches (v4/v3 plane
+# caches, Ozaki slice caches, dense mirrors of sparse matrices, window /
+# gather plans).  They are pure speed: every route has a cache-free
+# fallback.  ``TABMAT_TPU_CACHE_BUDGET_MB`` (or
+# :func:`set_cache_budget_mb`) caps the TOTAL bytes charged across all
+# live matrices; once the ledger is full, further builds are refused and
+# the owners take their cache-free routes.  Refunds happen when the owning
+# matrix is garbage-collected.  Default: unlimited (no behavior change).
+# Per-matrix cost table: docs/benchmarks/README.md §"Device cache costs".
+# ---------------------------------------------------------------------------
+
+_budget_lock = threading.Lock()
+_cache_budget = "unset"  # lazy env read; None = unlimited; else bytes
+_cache_spent = 0
+
+
+def set_cache_budget_mb(mb) -> None:
+    """Set (or clear, with ``None``) the global device-cache budget."""
+    global _cache_budget
+    with _budget_lock:
+        _cache_budget = None if mb is None else int(float(mb) * (1 << 20))
+
+
+def cache_budget_bytes():
+    """Current budget in bytes, or None when unlimited."""
+    global _cache_budget
+    if _cache_budget == "unset":
+        env = os.environ.get("TABMAT_TPU_CACHE_BUDGET_MB")
+        with _budget_lock:
+            if _cache_budget == "unset":
+                _cache_budget = int(float(env) * (1 << 20)) if env else None
+    return _cache_budget
+
+
+def cache_spent_bytes() -> int:
+    """Bytes currently charged against the budget."""
+    return _cache_spent
+
+
+def _cache_refund(nbytes: int) -> None:
+    global _cache_spent
+    with _budget_lock:
+        _cache_spent = max(0, _cache_spent - nbytes)
+
+
+def cache_charge(nbytes: int, owner=None) -> bool:
+    """Charge a structural device cache against the global budget.
+
+    Returns True when the build may proceed (always, when no budget is
+    set).  False tells the caller to take its cache-free route.  The
+    charge is refunded when ``owner`` is garbage-collected.
+    """
+    budget = cache_budget_bytes()
+    if budget is None:
+        return True
+    nbytes = int(nbytes)
+    global _cache_spent
+    with _budget_lock:
+        if _cache_spent + nbytes > budget:
+            return False
+        _cache_spent += nbytes
+    if owner is not None:
+        weakref.finalize(owner, _cache_refund, nbytes)
+    return True
 
 
 def initialize() -> None:

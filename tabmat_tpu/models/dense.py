@@ -236,8 +236,12 @@ class DenseMatrix(MatrixBase):
         if not self._ozaki_eligible():
             return None
         if self._ozaki_cache is None:
+            from .._config import cache_charge
             from ..ops import ozaki
 
+            n, k = self.shape
+            if not cache_charge(14 * n * k, self):  # 7 bf16 slices
+                return None
             self._ozaki_cache = ozaki.slice_matrix(self._array)
         return self._ozaki_cache
 
@@ -254,6 +258,15 @@ class DenseMatrix(MatrixBase):
         if not self._ozaki_eligible():
             return None
         if getattr(self, "_plane_cache", None) is None:
+            from .._config import cache_charge
+
+            est = (
+                pallas_sandwich_v4.estimate_cache_bytes(n, k)
+                if pallas_sandwich_v4.supported(n, k, self.dtype)
+                else pallas_sandwich_v3.estimate_cache_bytes(n, k)
+            )
+            if not cache_charge(est, self):
+                return None
             # v4 (anti-diagonal int8 stack, B side precomputed) when the
             # packed width fits one lane tile; else the v3 self-slicer
             if pallas_sandwich_v4.supported(n, k, self.dtype):
@@ -279,8 +292,12 @@ class DenseMatrix(MatrixBase):
         if not self._ozaki_eligible():
             return None
         if getattr(self, "_ozaki_cache_T", None) is None:
+            from .._config import cache_charge
             from ..ops import ozaki
 
+            n, k = self.shape
+            if not cache_charge(14 * n * k, self):
+                return None
             self._ozaki_cache_T = ozaki.slice_matrix_T(self._array)
         return self._ozaki_cache_T
 

@@ -217,6 +217,10 @@ class SparseMatrix(MatrixBase):
         if k > DENSE_SANDWICH_MAX_COLS or n * k > DENSE_SANDWICH_MAX_ELEMENTS:
             return None
         if self._dev_dense is None:
+            from .._config import cache_charge
+
+            if not cache_charge(self.dtype.itemsize * n * k, self):
+                return None
             self._dev_dense = jnp.asarray(self._array.toarray())
         return self._dev_dense
 
@@ -243,8 +247,11 @@ class SparseMatrix(MatrixBase):
         if dense is None:
             return None
         if self._mirror_ozaki is None:
+            from .._config import cache_charge
             from ..ops import ozaki
 
+            if not cache_charge(28 * n * k, self):  # QX + QXT, 14 B/el each
+                return None
             QX, eX = ozaki.slice_matrix(dense)
             QXT, eXT = ozaki.slice_matrix_T(dense)
             self._mirror_ozaki = (QX, eX, QXT, eXT)
@@ -257,9 +264,15 @@ class SparseMatrix(MatrixBase):
         n, k = self.shape
         dense = None
         if getattr(self, "_mirror_plane", None) is None:
+            from .._config import cache_charge
+
             if pallas_sandwich_v4.supported(n, k, self.dtype):
                 dense = self._dense_mirror()
                 if dense is None:
+                    return None
+                if not cache_charge(
+                    pallas_sandwich_v4.estimate_cache_bytes(n, k), self
+                ):
                     return None
                 self._mirror_plane = pallas_sandwich_v4.build_plane_cache(
                     dense
@@ -267,6 +280,10 @@ class SparseMatrix(MatrixBase):
             elif pallas_sandwich_v3.supported(n, k, self.dtype):
                 dense = self._dense_mirror()
                 if dense is None:
+                    return None
+                if not cache_charge(
+                    pallas_sandwich_v3.estimate_cache_bytes(n, k), self
+                ):
                     return None
                 if pallas_sandwich_v3.pack_group(k) > 1:
                     self._mirror_plane = (

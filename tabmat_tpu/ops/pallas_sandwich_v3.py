@@ -292,6 +292,18 @@ def pack_group(k: int) -> int:
     return max(1, MAX_K // k)
 
 
+def estimate_cache_bytes(n: int, k: int) -> int:
+    """HBM footprint of the (possibly packed) f32 pair-plane cache.
+
+    8 bytes per packed/padded element — consulted by the global cache
+    budget (``_config.cache_charge``).
+    """
+    G = pack_group(k)
+    n2 = -(-n // G)
+    n_pad = -(-n2 // SUB) * SUB
+    return 8 * n_pad * G * k
+
+
 def build_plane_cache_packed(X: jax.Array) -> PackedPlaneCache:
     n, k = X.shape
     G = pack_group(k)

@@ -315,6 +315,20 @@ def pack_group(k: int) -> int:
     return max(1, MAX_KP // k)
 
 
+def estimate_cache_bytes(n: int, k: int) -> int:
+    """HBM footprint of :func:`build_plane_cache` before building it.
+
+    f32 pair planes (8 B) plus the NP-plane int8 B-stack (NP B) on the
+    packed/padded layout — consulted by the global cache budget
+    (``_config.cache_charge``).
+    """
+    G = pack_group(k)
+    kpad = -(-(G * k) // LANE) * LANE
+    n2 = -(-n // G)
+    n_pad = -(-n2 // SUB) * SUB
+    return (8 + NP) * n_pad * kpad
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def _build_bstk(xsh, xsl, interpret=False):
     """Step-interleaved descending int8 plane stack of the B side.
