@@ -146,6 +146,7 @@ class SparseMatrix(MatrixBase):
         state["_bounds_wplan"] = None
         state["_rowid_wplan"] = None
         state["_col_codes_dev"] = None
+        state["_fused_tmv_cache"] = None
         return state
 
     # -- device mirrors --------------------------------------------------
@@ -346,6 +347,44 @@ class SparseMatrix(MatrixBase):
         if cols2d is not None:
             return bcodes2d, bws, plan.window, cols2d, True
         return bcodes2d, bws, plan.window, self._csr_parts()[1], False
+
+    def _fused_tmv_parts(self, dtype):
+        """Fused one-pass transpose-matvec plan uploads, or None.
+
+        One Pallas dispatch replaces the round-4 windowed-take → multiply
+        → one-hot segsum sequence (see ``ops/pallas_tmv_fused``); the tile
+        height adapts to the design's nnz/row so the gather window stays
+        shallow.  Covers k ≤ 512 with any source length.
+        """
+        from ..ops import pallas_tmv_fused as ptf
+
+        if not ptf.supported(dtype):
+            return None
+        if getattr(self, "_fused_tmv_cache", None) is None:
+            n, k = self.shape
+            csr = self.array_csr
+            row_ids = np.repeat(
+                np.arange(n, dtype=np.int32), np.diff(csr.indptr)
+            )
+            plan = ptf.build_plan(row_ids, csr.indices, n, k)
+            if plan is None:
+                self._fused_tmv_cache = ()
+            else:
+                dh, dl = ptf.split_planes(jnp.asarray(csr.data))
+                R = plan.codes2d.shape[0]
+                pad = R * 128 - plan.nnz
+                self._fused_tmv_cache = (
+                    plan,
+                    jnp.pad(dh, (0, pad)).reshape(R, 128),
+                    jnp.pad(dl, (0, pad)).reshape(R, 128),
+                    jnp.asarray(plan.codes2d),
+                    jnp.asarray(plan.ccodes2d),
+                    jnp.asarray(plan.wsb),
+                    jnp.asarray(plan.r0),
+                )
+        if self._fused_tmv_cache == ():
+            return None
+        return self._fused_tmv_cache
 
     def _window_tmv_parts(self, dtype):
         """Windowed CSR transpose-matvec pieces, or None when not apt."""
@@ -763,13 +802,29 @@ class SparseMatrix(MatrixBase):
                 mask = rows_to_mask(np.asarray(rows), n, np.dtype(vec.dtype))
                 m = jnp.asarray(mask)
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
-            wtmv = self._window_tmv_parts(v_eff.dtype) if vec.ndim == 1 else None
-            mirror = (
-                self._mirror_ozaki_caches()
-                if vec.ndim == 1 and wtmv is None
+            fused = self._fused_tmv_parts(v_eff.dtype) if vec.ndim == 1 else None
+            wtmv = (
+                self._window_tmv_parts(v_eff.dtype)
+                if vec.ndim == 1 and fused is None
                 else None
             )
-            if wtmv is not None:
+            mirror = (
+                self._mirror_ozaki_caches()
+                if vec.ndim == 1 and wtmv is None and fused is None
+                else None
+            )
+            if fused is not None:
+                from ..ops import pallas_tmv_fused as ptf
+
+                plan, dh2d, dl2d, codes2d, ccodes2d, wsb, r0 = fused
+                vh, vl = ptf.split_planes(v_eff)
+                S = ptf.S_F64 if v_eff.dtype == jnp.float64 else ptf.S_F32
+                res_full = ptf.fused_tmv(
+                    vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
+                    plan.W, plan.BR, plan.SB, plan.kpad, S, plan.nblk, k,
+                    v_eff.dtype == jnp.float64,
+                )
+            elif wtmv is not None:
                 rcodes2d, rws, W, col_codes = wtmv
                 res_full = sparse_ops.csr_tmv_window(
                     self._csr_parts()[0],

@@ -324,6 +324,10 @@ def supported(dtype) -> bool:
 
     if not on_tpu():
         return False
+    # TEMPORARY opt-in gate: flipped to default-on (kill-switch only)
+    # after the round-5 hardware validation run
+    if os.environ.get("TABMAT_TPU_FUSED_TMV", "0") != "1":
+        return False
     if os.environ.get("TABMAT_TPU_NO_FUSED_TMV", "0") == "1":
         return False
     return jnp.dtype(dtype) in (jnp.float32, jnp.float64)
