@@ -33,7 +33,7 @@ def bench_design(name, n, k, density):
     out = np.asarray(m.transpose_matvec(jnp.asarray(v)))
     err = float(np.max(np.abs(out - ref) / scale))
 
-    step, x0 = bm._chain_fn(m, "transpose-matvec")
+    step, x0 = bm._get_chain_step(m, "transpose-matvec")
     dt = bm._marginal_device(step, x0)
     host = min(timeit.repeat(lambda: X.T @ v, number=5, repeat=3)) / 5
     print(f"{name}: fused_plan={fused_ok} t={dt*1e3:.3f} ms "

@@ -42,7 +42,7 @@ if __name__ == "__main__":
     print(f"scipy: {host*1e3:.3f} ms", flush=True)
 
     # class routing
-    step, x0 = bm._chain_fn(m, "matvec")
+    step, x0 = bm._get_chain_step(m, "matvec")
     marginal_route("class route", step, x0)
 
     # explicit routes, same chaining shape as the CLI

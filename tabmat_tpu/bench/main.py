@@ -56,15 +56,20 @@ def _get_chain_step(mat, op):
 
     rng = np.random.default_rng(0)
     n, k = mat.shape
+    # The inter-link fold rescales the fixed input by a scalar probe of
+    # the output (same pattern as the sandwich fold below): each link's
+    # input buffer differs (tanh(sum) varies with the propagated scale,
+    # and ops are linear so the scale never repeats), which defeats
+    # relay memoization / XLA CSE, while the fold itself costs one
+    # reduction + one elementwise write — it no longer bills an
+    # n-length ``jnp.tile`` relayout (2.8 ms at 3M rows) to the op.
     if op == "matvec":
         x0 = jnp.asarray(rng.standard_normal(k))
-        tile_k = k // n + 1
-        fold = jax.jit(lambda o: jnp.tile(o * 0.1, tile_k)[:k])
+        fold = jax.jit(lambda o: x0 * (1.0 + 1e-9 * jnp.tanh(jnp.sum(o))))
         return (lambda x: fold(mat.matvec(x))), x0
     if op == "transpose-matvec":
         x0 = jnp.asarray(rng.standard_normal(n))
-        tile = n // k + 1
-        fold = jax.jit(lambda o: jnp.tile(o * 1e-2, tile)[:n])
+        fold = jax.jit(lambda o: x0 * (1.0 + 1e-9 * jnp.tanh(jnp.sum(o))))
         return (lambda x: fold(mat.transpose_matvec(x))), x0
     if op == "sandwich":
         d0 = jnp.asarray(rng.random(n))

@@ -817,10 +817,9 @@ class SparseMatrix(MatrixBase):
                 from ..ops import pallas_tmv_fused as ptf
 
                 plan, dh2d, dl2d, codes2d, ccodes2d, wsb, r0 = fused
-                vh, vl = ptf.split_planes(v_eff)
                 S = ptf.S_F64 if v_eff.dtype == jnp.float64 else ptf.S_F32
                 res_full = ptf.fused_tmv(
-                    vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
+                    v_eff, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
                     plan.W, plan.BR, plan.SB, plan.kpad, S, plan.nblk, k,
                     v_eff.dtype == jnp.float64,
                 )

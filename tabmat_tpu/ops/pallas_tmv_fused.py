@@ -177,7 +177,11 @@ def _plane_slices(x32, S):
 
 
 def _kernel(wsb_ref, r0_ref, thA, thB, tlA, tlB, dh_ref, dl_ref, rc_ref, cc_ref,
-            parts_ref, exp_ref, sh_ref, sl_ref, *, W, BR, SB, KP, S):
+            parts_ref, exp_ref, sh_ref, sl_ref, *, W, BR, SB, KP, S,
+            stage="full"):
+    # ``stage`` is a hardware-profiling knob (docs/probes/r5_fused_tmv_probe):
+    # "nogather" skips the window-gather loop, "noonehot" replaces the
+    # one-hot build+dots with a slice — each isolates one stage's cost.
     i = pl.program_id(0)
     # table window: two W-aligned blocks stitched into a (2W, 128) scratch
     sh_ref[0:W] = thA[:]
@@ -201,7 +205,10 @@ def _kernel(wsb_ref, r0_ref, thA, thB, tlA, tlB, dh_ref, dl_ref, rc_ref, cc_ref,
         return a0, a1
 
     z = jnp.zeros((BR, LANE), jnp.float32)
-    gh, gl = jax.lax.fori_loop(jnp.int32(0), jnp.int32(W), body, (z, z))
+    if stage == "nogather":
+        gh, gl = sh_ref[0:BR] * jnp.float32(lo.astype(jnp.float32)[0, 0]), z
+    else:
+        gh, gl = jax.lax.fori_loop(jnp.int32(0), jnp.int32(W), body, (z, z))
 
     # vals = data · g as an exact-enough float-float pair:
     # two_prod(dh, gh) is exact; the three cross terms carry ≤ 2^-24
@@ -227,26 +234,36 @@ def _kernel(wsb_ref, r0_ref, thA, thB, tlA, tlB, dh_ref, dl_ref, rc_ref, cc_ref,
     ql = _plane_slices(xl, S)
     q = jnp.stack([(a + b) for a, b in zip(qh, ql)]).astype(jnp.bfloat16)
 
-    # one-hot MXU reduction over column codes, SB sublanes at a time
+    # one-hot MXU reduction over column codes, SB sublanes at a time.
+    # Mosaic cannot lower a two-dim contraction, but it CAN merge
+    # (SB, LANE) into one lane axis on both sides — so each sub-block is
+    # a plain (S, SB·LANE) @ (SB·LANE, KP) matmul (hardware-validated).
     cc = cc_ref[:]
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (SB, LANE, KP), 2)
     acc = jnp.zeros((S, KP), jnp.float32)
     for sb in range(BR // SB):
         c_sub = cc[sb * SB:(sb + 1) * SB, :]
-        oh = (c_sub[:, :, None] == iota_k).astype(jnp.bfloat16)
         q_sub = q[:, sb * SB:(sb + 1) * SB, :]
+        if stage == "noonehot":
+            acc = acc + q_sub.reshape(S, SB * LANE)[:, :KP].astype(jnp.float32)
+            acc = acc + jnp.float32(c_sub[0, 0])
+            continue
+        oh = (c_sub[:, :, None] == iota_k).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
-            q_sub, oh,
-            dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+            q_sub.reshape(S, SB * LANE), oh.reshape(SB * LANE, KP),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     parts_ref[0] = acc
-    exp_ref[0, 0] = e_i[0, 0].astype(jnp.float32)
+    # (1, 8, LANE) block: Mosaic needs (8, 128)-tileable output blocks, so
+    # the scalar per-tile exponent is broadcast into a padded row
+    exp_ref[0] = jnp.broadcast_to(e_i[0, 0].astype(jnp.float32), (8, LANE))
 
 
-@partial(jax.jit, static_argnames=("W", "BR", "SB", "KP", "S", "nblk", "interpret"))
+@partial(jax.jit, static_argnames=("W", "BR", "SB", "KP", "S", "nblk",
+                                   "interpret", "stage"))
 def _fused_parts(vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
-                 W, BR, SB, KP, S, nblk, interpret=False):
+                 W, BR, SB, KP, S, nblk, interpret=False, stage="full"):
     """Run the fused kernel → ((T, S, KP) f32 partials, (T, 1) f32 exps)."""
     # pad the table planes to nblk whole (W, 128) blocks
     need = nblk * W * LANE
@@ -255,7 +272,7 @@ def _fused_parts(vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
     R = codes2d.shape[0]
     T = R // BR
     parts, exps = pl.pallas_call(
-        partial(_kernel, W=W, BR=BR, SB=SB, KP=KP, S=S),
+        partial(_kernel, W=W, BR=BR, SB=SB, KP=KP, S=S, stage=stage),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(T,),
@@ -271,7 +288,10 @@ def _fused_parts(vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
             ],
             out_specs=[
                 pl.BlockSpec((1, S, KP), lambda i, wsb, r0: (i, jnp.int32(0), jnp.int32(0))),
-                pl.BlockSpec((1, 1), lambda i, wsb, r0: (i, jnp.int32(0))),
+                pl.BlockSpec(
+                    (1, 8, LANE),
+                    lambda i, wsb, r0: (i, jnp.int32(0), jnp.int32(0)),
+                ),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2 * W, LANE), jnp.float32),
@@ -280,7 +300,7 @@ def _fused_parts(vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((T, S, KP), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 8, LANE), jnp.float32),
         ],
         interpret=interpret,
     )(wsb, r0, vh, vh, vl, vl, dh2d, dl2d, codes2d, ccodes2d)
@@ -288,20 +308,23 @@ def _fused_parts(vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
 
 
 @partial(jax.jit, static_argnames=("W", "BR", "SB", "KP", "S", "nblk", "k", "out_f64", "interpret"))
-def fused_tmv(vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
+def fused_tmv(v, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
               W, BR, SB, KP, S, nblk, k, out_f64=True, interpret=False):
-    """``X.T @ v`` from cached plan uploads + per-call v planes → (k,).
+    """``X.T @ v`` from cached plan uploads + the raw f64/f32 vector → (k,).
 
-    The cross-tile combine is exact: per-tile partials are ≤2^22 f32
-    integers, weighted in f64 by the slice levels and the tile's
-    power-of-two scale.
+    The v plane split happens INSIDE the jit: the whole op is one
+    dispatch from Python (per-link host overhead dominates sub-ms device
+    kernels under the chained-marginal protocol).  The cross-tile combine
+    is exact: per-tile partials are ≤2^22 f32 integers, weighted in f64
+    by the slice levels and the tile's power-of-two scale.
     """
+    vh, vl = split_planes(v)
     parts, exps = _fused_parts(
         vh, vl, dh2d, dl2d, codes2d, ccodes2d, wsb, r0,
         W, BR, SB, KP, S, nblk, interpret,
     )
     w = jnp.asarray([0.5 ** ((p + 1) * T7) for p in range(S)], dtype=jnp.float64)
-    scales = jnp.exp2(exps[:, 0].astype(jnp.float64))
+    scales = jnp.exp2(exps[:, 0, 0].astype(jnp.float64))
     out = jnp.einsum(
         "tsk,s,t->k", parts.astype(jnp.float64), w, scales, precision="highest"
     )

@@ -21,7 +21,6 @@ def _run_fused(X_csr, v, interpret=True):
     plan = ptf.build_plan(row_ids, X_csr.indices, n, k)
     if plan is None:
         return None
-    vh, vl = ptf.split_planes(jnp.asarray(v))
     dh, dl = ptf.split_planes(jnp.asarray(X_csr.data))
     R = plan.codes2d.shape[0]
     pad = R * 128 - X_csr.nnz
@@ -29,7 +28,7 @@ def _run_fused(X_csr, v, interpret=True):
     dl2d = jnp.pad(dl, (0, pad)).reshape(R, 128)
     S = ptf.S_F64 if v.dtype == np.float64 else ptf.S_F32
     out = ptf.fused_tmv(
-        vh, vl, dh2d, dl2d,
+        jnp.asarray(v), dh2d, dl2d,
         jnp.asarray(plan.codes2d), jnp.asarray(plan.ccodes2d),
         jnp.asarray(plan.wsb), jnp.asarray(plan.r0),
         plan.W, plan.BR, plan.SB, plan.kpad, S, plan.nblk, k,
