@@ -186,11 +186,16 @@ def matvec_cached_T(QXT: jax.Array, eX: jax.Array, v: jax.Array, n=None) -> jax.
             # cross-chunk accumulation in f64 keeps exactness at any k
             Pc = Pc.astype(jnp.float64)
             P = Pc if P is None else P + Pc
-        # combine rows with plain elementwise f64 FMAs — an f64 tensordot
-        # here lowers to an emulated-f64 contraction (measured 54 ms for
-        # what is 1.6 ms of VPU work)
-        for q in range(m):
-            out = out + P[q] * (0.5 ** ((p + q + 2) * T))
+        # combine rows as ONE fused scaled reduction per pass: the per-q
+        # AXPY form re-reads and re-writes the (n,) f64 accumulator m
+        # times per pass (~2.8 GB of pure combine traffic at 4M rows —
+        # it dominated the 4M×10 matvec cell); XLA fuses cast + scale +
+        # sum into a single read of P.  (An f64 einsum would lower to an
+        # emulated-f64 contraction instead — measured 54 ms.)
+        wq = jnp.asarray(
+            [0.5 ** ((p + q + 2) * T) for q in range(m)], dtype=jnp.float64
+        )
+        out = out + jnp.sum(P * wq[:, None], axis=0)
     out = out * ev
     return out if n is None or n == n_full else out[:n]
 
