@@ -1,0 +1,86 @@
+"""v5 all-pairs single-dot int8 sandwich + cache-tmv: exact-f64 parity.
+
+The Pallas kernel runs in interpret mode on CPU; ``tmv_from_cache`` is
+pure XLA (no Pallas) so it runs natively everywhere.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tabmat_tpu  # noqa: F401  (x64 on)
+from tabmat_tpu.ops import pallas_sandwich_v5 as v5
+
+
+def _rand(n, k, seed, col_scales=True, d_scales=True):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, k))
+    if col_scales:
+        X = X * np.exp2(rng.uniform(-8, 8, size=(1, k)))
+    d = rng.random(n)
+    if d_scales:
+        d = d * np.exp2(rng.uniform(-4, 4, size=n))
+    return X, d
+
+
+@pytest.mark.parametrize("n,k", [(5000, 50), (3001, 7), (4096, 128), (999, 3)])
+def test_sandwich_interpret(n, k):
+    X, d = _rand(n, k, seed=n + k)
+    cache = v5.build_plane_cache(jnp.asarray(X))
+    S = v5._sandwich_v5_jit(
+        cache.xsh, cache.xsl, cache.bstk, cache.exps, jnp.asarray(d),
+        cache.n, cache.k, cache.G, interpret=True,
+    )
+    ref = (X * d[:, None]).T @ X
+    relerr = np.abs(np.asarray(S) - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13
+
+
+def test_sandwich_negative_and_zero_d():
+    # IRLS weights can be zero; signs must survive the int8 slicing
+    X, d = _rand(4097, 21, seed=3)
+    d = d * np.where(np.arange(4097) % 5 == 0, 0.0, 1.0)
+    d[::7] = -d[::7]
+    cache = v5.build_plane_cache(jnp.asarray(X))
+    S = v5._sandwich_v5_jit(
+        cache.xsh, cache.xsl, cache.bstk, cache.exps, jnp.asarray(d),
+        cache.n, cache.k, cache.G, interpret=True,
+    )
+    ref = (X * d[:, None]).T @ X
+    relerr = np.abs(np.asarray(S) - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13
+
+
+@pytest.mark.parametrize("n,k", [(5000, 50), (3001, 7), (4096, 128), (999, 3)])
+def test_tmv_from_cache(n, k):
+    X, _ = _rand(n, k, seed=2 * n + k)
+    rng = np.random.default_rng(7)
+    r = rng.standard_normal(n) * np.exp2(rng.uniform(-4, 4, size=n))
+    cache = v5.build_plane_cache(jnp.asarray(X))
+    got = np.asarray(v5.tmv_from_cache(cache, jnp.asarray(r)))
+    ref = X.T @ r
+    relerr = np.abs(got - ref).max() / np.abs(ref).max()
+    assert relerr < 1e-13
+
+
+def test_tmv_long_mantissa():
+    # values with all 53 mantissa bits set exercise the 48-bit pair limit
+    rng = np.random.default_rng(1)
+    n = 4000
+    X = np.nextafter(rng.standard_normal((n, 9)), np.inf)
+    r = np.nextafter(rng.standard_normal(n), -np.inf)
+    cache = v5.build_plane_cache(jnp.asarray(X))
+    got = np.asarray(v5.tmv_from_cache(cache, jnp.asarray(r)))
+    ref = X.T @ r
+    relerr = np.abs(got - ref).max() / np.abs(np.abs(X.T) @ np.abs(r)).max()
+    assert relerr < 1e-13
+
+
+def test_cache_bytes_match_v4_estimate():
+    # same bytes as v4 — the budget ledger can keep one estimator
+    from tabmat_tpu.ops import pallas_sandwich_v4 as v4
+
+    for n, k in [(100_000, 50), (5000, 3), (65_537, 128)]:
+        assert v5.estimate_cache_bytes(n, k) == v4.estimate_cache_bytes(n, k)
