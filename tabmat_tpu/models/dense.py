@@ -252,8 +252,9 @@ class DenseMatrix(MatrixBase):
         the kernel never re-slices the d side in HBM — see
         ``ops/pallas_sandwich_v3``.
         """
-        from ..ops import pallas_sandwich_v3, pallas_sandwich_v4
+        from ..ops import pallas_sandwich_v3, pallas_sandwich_v5
 
+        pref = pallas_sandwich_v5.preferred()  # v4 or v5 by config
         n, k = self.shape
         if not self._ozaki_eligible():
             return None
@@ -261,18 +262,16 @@ class DenseMatrix(MatrixBase):
             from .._config import cache_charge
 
             est = (
-                pallas_sandwich_v4.estimate_cache_bytes(n, k)
-                if pallas_sandwich_v4.supported(n, k, self.dtype)
+                pref.estimate_cache_bytes(n, k)
+                if pref.supported(n, k, self.dtype)
                 else pallas_sandwich_v3.estimate_cache_bytes(n, k)
             )
             if not cache_charge(est, self):
                 return None
-            # v4 (anti-diagonal int8 stack, B side precomputed) when the
+            # v4/v5 (int8 plane stacks, B side precomputed) when the
             # packed width fits one lane tile; else the v3 self-slicer
-            if pallas_sandwich_v4.supported(n, k, self.dtype):
-                self._plane_cache = pallas_sandwich_v4.build_plane_cache(
-                    self._array
-                )
+            if pref.supported(n, k, self.dtype):
+                self._plane_cache = pref.build_plane_cache(self._array)
             elif pallas_sandwich_v3.supported(n, k, self.dtype):
                 # narrow matrices pack G row-groups into the lanes
                 if pallas_sandwich_v3.pack_group(k) > 1:
@@ -360,18 +359,26 @@ class DenseMatrix(MatrixBase):
                 v_eff = vec * (m if vec.ndim == 1 else m[:, None])
             res_full = None
             if v_eff.ndim == 1:
-                from ..ops import pallas_sandwich_v4
+                from ..ops import pallas_sandwich_v4, pallas_sandwich_v5
 
-                # ride the v4 sandwich cache only when it already exists
-                # (GLM loops always sandwich too); a tmv-only caller gets
-                # the cheaper ozaki transpose cache instead of eagerly
-                # paying the full v4 plane-stack HBM build
+                # ride the v4/v5 sandwich cache only when it already
+                # exists (GLM loops always sandwich too); a tmv-only
+                # caller gets the cheaper ozaki transpose cache instead
+                # of eagerly paying the full plane-stack HBM build
                 pc = getattr(self, "_plane_cache", None)
-                if isinstance(pc, pallas_sandwich_v4.PlaneCacheV4):
+                if isinstance(
+                    pc,
+                    (
+                        pallas_sandwich_v4.PlaneCacheV4,
+                        pallas_sandwich_v5.PlaneCacheV5,
+                    ),
+                ):
                     # one batched int8 dot over the sandwich cache's
                     # B-stack — reads the only O(n·k) operand once and
                     # shares HBM with the sandwich (no second slice cache)
-                    res_full = pallas_sandwich_v4.tmv_from_cache(pc, v_eff)
+                    res_full = pallas_sandwich_v5.module_for(pc).tmv_from_cache(
+                        pc, v_eff
+                    )
                 else:
                     cache = self._get_ozaki_cache()
                     if cache is not None:

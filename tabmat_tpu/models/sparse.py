@@ -259,25 +259,24 @@ class SparseMatrix(MatrixBase):
         return self._mirror_ozaki
 
     def _mirror_plane_cache(self):
-        """f32-plane cache over the mirror for the one-pass sandwich (v4/v3)."""
-        from ..ops import pallas_sandwich_v3, pallas_sandwich_v4
+        """f32-plane cache over the mirror for the one-pass sandwich (v5/v4/v3)."""
+        from ..ops import pallas_sandwich_v3, pallas_sandwich_v5
 
+        pref = pallas_sandwich_v5.preferred()  # v4 or v5 by config
         n, k = self.shape
         dense = None
         if getattr(self, "_mirror_plane", None) is None:
             from .._config import cache_charge
 
-            if pallas_sandwich_v4.supported(n, k, self.dtype):
+            if pref.supported(n, k, self.dtype):
                 dense = self._dense_mirror()
                 if dense is None:
                     return None
                 if not cache_charge(
-                    pallas_sandwich_v4.estimate_cache_bytes(n, k), self
+                    pref.estimate_cache_bytes(n, k), self
                 ):
                     return None
-                self._mirror_plane = pallas_sandwich_v4.build_plane_cache(
-                    dense
-                )
+                self._mirror_plane = pref.build_plane_cache(dense)
             elif pallas_sandwich_v3.supported(n, k, self.dtype):
                 dense = self._dense_mirror()
                 if dense is None:
@@ -589,10 +588,22 @@ class SparseMatrix(MatrixBase):
             dm = d_dev if mask is None else d_dev * jnp.asarray(mask)
             plane = self._mirror_plane_cache()
             if plane is not None:
-                from ..ops import pallas_sandwich_v3, pallas_sandwich_v4
+                from ..ops import (
+                    pallas_sandwich_v3,
+                    pallas_sandwich_v4,
+                    pallas_sandwich_v5,
+                )
 
-                if isinstance(plane, pallas_sandwich_v4.PlaneCacheV4):
-                    S = pallas_sandwich_v4.sandwich_from_cache(plane, dm)
+                if isinstance(
+                    plane,
+                    (
+                        pallas_sandwich_v4.PlaneCacheV4,
+                        pallas_sandwich_v5.PlaneCacheV5,
+                    ),
+                ):
+                    S = pallas_sandwich_v5.module_for(plane).sandwich_from_cache(
+                        plane, dm
+                    )
                 else:
                     S = pallas_sandwich_v3.sandwich_from_cache(plane, dm)
             else:

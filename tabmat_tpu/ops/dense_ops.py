@@ -104,14 +104,24 @@ def sandwich(
 
             if plane_cache is not None:
                 # one-pass self-slicing kernels over the structural f32
-                # planes: v4 (precomputed int8 B-stack, anti-diagonal
+                # planes: v5 (all-pairs single dot), v4 (anti-diagonal
                 # dots) or v3 (both sides sliced in VMEM per call)
-                from . import pallas_sandwich_v3, pallas_sandwich_v4
+                from . import (
+                    pallas_sandwich_v3,
+                    pallas_sandwich_v4,
+                    pallas_sandwich_v5,
+                )
 
-                if isinstance(plane_cache, pallas_sandwich_v4.PlaneCacheV4):
-                    return pallas_sandwich_v4.sandwich_from_cache(
-                        plane_cache, d
-                    )
+                if isinstance(
+                    plane_cache,
+                    (
+                        pallas_sandwich_v4.PlaneCacheV4,
+                        pallas_sandwich_v5.PlaneCacheV5,
+                    ),
+                ):
+                    return pallas_sandwich_v5.module_for(
+                        plane_cache
+                    ).sandwich_from_cache(plane_cache, d)
                 return pallas_sandwich_v3.sandwich_from_cache(plane_cache, d)
             if ozaki_cache is not None:
                 return ozaki.sandwich_cached(X, d, ozaki_cache)

@@ -35,6 +35,8 @@ Counterpart of the reference's fused dense sandwich
 call through the L2-tiled k-loop.
 """
 
+import os
+import sys
 from functools import partial
 from typing import NamedTuple
 
@@ -60,6 +62,26 @@ from .pallas_sandwich_v4 import (
 # SUB = 2048 rows ⇒ ≤ 2^23.1; int32 overflows after 2^31 / 2^23.1 ≈ 244
 # steps — flush every 64 keeps 4× worst-case headroom.
 FLUSH_EVERY = 64
+
+# which kernel new plane caches default to; overridable per process via
+# TABMAT_TPU_SANDWICH_KERNEL=v4|v5 (existing caches always dispatch by
+# their own type — see module_for)
+DEFAULT_KERNEL = "v4"
+
+
+def preferred():
+    """The module (this one or v4) new plane caches are built with."""
+    from . import pallas_sandwich_v4 as v4mod
+
+    name = os.environ.get("TABMAT_TPU_SANDWICH_KERNEL", DEFAULT_KERNEL)
+    return sys.modules[__name__] if name == "v5" else v4mod
+
+
+def module_for(cache):
+    """Dispatch a built cache (PlaneCacheV4 or PlaneCacheV5) to its module."""
+    from . import pallas_sandwich_v4 as v4mod
+
+    return sys.modules[__name__] if isinstance(cache, PlaneCacheV5) else v4mod
 
 
 class PlaneCacheV5(NamedTuple):

@@ -357,11 +357,15 @@ class DeviceDesign:
                 if pc is not None:
                     from ..ops.pallas_sandwich_v3 import PackedPlaneCache
                     from ..ops.pallas_sandwich_v4 import PlaneCacheV4
+                    from ..ops.pallas_sandwich_v5 import PlaneCacheV5
 
                     arrays.update(
                         pln_xsh=pc.xsh, pln_xsl=pc.xsl, pln_exps=pc.exps
                     )
-                    if isinstance(pc, PlaneCacheV4):
+                    if isinstance(pc, PlaneCacheV5):
+                        arrays.update(pln_bstk=pc.bstk)
+                        meta = ("pln_v5", pc.n, pc.k, pc.G)
+                    elif isinstance(pc, PlaneCacheV4):
                         arrays.update(pln_bstk=pc.bstk)
                         meta = ("pln_v4", pc.n, pc.k, pc.G)
                     elif isinstance(pc, PackedPlaneCache):
@@ -727,6 +731,14 @@ class DeviceDesign:
                 from ..ops import pallas_sandwich_v3
 
                 dmeta = b.meta
+                if dmeta and dmeta[0] == "pln_v5":
+                    from ..ops import pallas_sandwich_v5
+
+                    _, pn, pk, pG = dmeta
+                    return pallas_sandwich_v5._sandwich_v5_jit(
+                        da["pln_xsh"], da["pln_xsl"], da["pln_bstk"],
+                        da["pln_exps"], w, pn, pk, pG,
+                    )
                 if dmeta and dmeta[0] == "pln_v4":
                     from ..ops import pallas_sandwich_v4
 

@@ -78,6 +78,52 @@ def test_tmv_long_mantissa():
     assert relerr < 1e-13
 
 
+def test_class_route_uses_v5_tmv(monkeypatch):
+    """DenseMatrix.transpose_matvec rides a v5 cache when present."""
+    from tabmat_tpu.models.dense import DenseMatrix
+
+    X, _ = _rand(3000, 13, seed=9)
+    r = np.random.default_rng(10).standard_normal(3000)
+    m = DenseMatrix(X)
+    # force-eligible on CPU: pretend the plane cache is built
+    m._plane_cache = v5.build_plane_cache(m._array)
+    monkeypatch.setattr(
+        DenseMatrix, "_get_plane_cache", lambda self: self._plane_cache
+    )
+    got = m.transpose_matvec(r)
+    np.testing.assert_allclose(np.asarray(got), X.T @ r, rtol=1e-12, atol=1e-12)
+    rows = np.arange(0, 3000, 2)
+    got_r = m.transpose_matvec(r, rows=rows)
+    np.testing.assert_allclose(
+        np.asarray(got_r), X[rows].T @ r[rows], rtol=1e-12, atol=1e-12
+    )
+
+
+def test_device_design_carries_v5_meta(monkeypatch):
+    """DeviceDesign picks up a built v5 cache as a pln_v5 block."""
+    from tabmat_tpu.models.dense import DenseMatrix
+    from tabmat_tpu.parallel.design import DeviceDesign
+
+    X, d = _rand(2500, 9, seed=11, col_scales=False, d_scales=False)
+    m = DenseMatrix(X)
+    m._plane_cache = v5.build_plane_cache(m._array)
+    monkeypatch.setattr(
+        DenseMatrix, "_get_plane_cache", lambda self: self._plane_cache
+    )
+    design = DeviceDesign.from_matrix(m)
+    blk = design.blocks[0]
+    assert blk.meta and blk.meta[0] == "pln_v5"
+    # the jitted sandwich dispatches through the v5 interpret-free path
+    # only on TPU; on CPU exercise the meta plumbing via the jit with
+    # interpret impossible — call _sandwich_v5_jit directly instead
+    S = v5._sandwich_v5_jit(
+        blk.arrays["pln_xsh"], blk.arrays["pln_xsl"], blk.arrays["pln_bstk"],
+        blk.arrays["pln_exps"], jnp.asarray(d), *blk.meta[1:], interpret=True,
+    )
+    ref = (X * d[:, None]).T @ X
+    assert np.abs(np.asarray(S) - ref).max() / np.abs(ref).max() < 1e-13
+
+
 def test_cache_bytes_match_v4_estimate():
     # same bytes as v4 — the budget ledger can keep one estimator
     from tabmat_tpu.ops import pallas_sandwich_v4 as v4
